@@ -1,0 +1,61 @@
+"""Synthetic knowledge-graph generator for tests and benchmarks.
+
+Covers BASELINE config #1 ("synthetic 10k-node / 100k-triplet KG, 8
+relations, frozen random 200-d embeddings") and scaled variants. Generates a
+*learnable* KG: relations act as random linear operators in embedding space
+and each edge's destination is the (noisy) nearest neighbor of the
+transformed source, so MRR above random is achievable with frozen random
+node embeddings.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def generate_synthetic_kg(
+    num_nodes: int = 10_000,
+    num_edges: int = 100_000,
+    num_rel: int = 8,
+    emb_dim: int = 200,
+    seed: int = 0,
+    structured: bool = True,
+) -> Tuple[Dict[int, np.ndarray], Dict[str, int], List[Tuple[int, int, str]]]:
+    """Returns ``(node2emb, rel2idx, triplets)`` in ingestion format."""
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((num_nodes, emb_dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    rel_names = [f"rel_{i}" for i in range(num_rel)]
+    rel2idx = {name: i for i, name in enumerate(rel_names)}
+
+    src = rng.integers(0, num_nodes, size=num_edges)
+    rel = rng.integers(0, num_rel, size=num_edges)
+
+    if structured:
+        # Per-relation orthogonal-ish operator; dst = node whose embedding is
+        # closest to op @ src_emb within a small candidate pool (keeps
+        # generation O(E * pool) instead of O(E * N)).
+        ops = rng.standard_normal((num_rel, emb_dim, emb_dim)).astype(
+            np.float32
+        ) / np.sqrt(emb_dim)
+        pool_size = min(256, num_nodes)
+        dst = np.empty(num_edges, dtype=np.int64)
+        chunk = 4096
+        for lo in range(0, num_edges, chunk):
+            hi = min(lo + chunk, num_edges)
+            s, r = src[lo:hi], rel[lo:hi]
+            target = np.einsum("bij,bj->bi", ops[r], emb[s])
+            cand = rng.integers(0, num_nodes, size=(hi - lo, pool_size))
+            sims = np.einsum("bpd,bd->bp", emb[cand], target)
+            dst[lo:hi] = cand[np.arange(hi - lo), np.argmax(sims, axis=1)]
+    else:
+        dst = rng.integers(0, num_nodes, size=num_edges)
+
+    node2emb = {i: emb[i] for i in range(num_nodes)}
+    triplets = [
+        (int(s), int(d), rel_names[int(r)]) for s, d, r in zip(src, dst, rel)
+    ]
+    return node2emb, rel2idx, triplets

@@ -1,0 +1,107 @@
+"""Fused RelGAT message-passing op (SDDMM -> segment-softmax -> SpMM).
+
+This is the hot op of the whole framework: the reference computes it with a
+per-head Python loop over four torch-scatter launches per head
+(``core/model/layer.py:220-318``); here it is one head-vectorized op with an
+XLA-baseline implementation (this file) and a fused Pallas TPU kernel
+(``ops/pallas``) selected via ``use_pallas``.
+
+Semantics (parity with reference ``layer.py:214-323``):
+  1. gather projected source rows at edge sources,
+  2. per-edge score ``e = LeakyReLU_0.2(sum(proj_src * attn[rel], -1))``,
+  3. stable segment softmax per destination (denominator clamped at 1e-16),
+  4. optional dropout on the attention weights,
+  5. weighted scatter-add of messages per destination,
+  6. optional per-relation scalar bias, scatter-summed per destination and
+     added to every head/feature after aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from relgat_projector_tpu.ops.segment import (
+    STABLE_SOFTMAX_EPS,
+    segment_softmax,
+    segment_sum,
+)
+
+
+def relgat_propagate(
+    h: jax.Array,              # [N, H, F] projected node features
+    attn_bank: jax.Array,      # [H, R, F] per-head per-relation attention vectors
+    rel_bias: Optional[jax.Array],  # [R] or None
+    src: jax.Array,            # [E] int32 edge sources
+    dst: jax.Array,            # [E] int32 edge destinations
+    etype: jax.Array,          # [E] int32 relation ids
+    *,
+    num_nodes: int,
+    negative_slope: float = 0.2,
+    eps: float = STABLE_SOFTMAX_EPS,
+    attn_dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    edges_sorted_by_dst: bool = False,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Return aggregated messages ``[N, H, F]``.
+
+    Padded edges must point ``dst`` at a padded node row (>= the number of
+    real nodes) so they contribute nothing observable; static shapes
+    throughout (TPU requirement).
+    """
+    if use_pallas:
+        from relgat_projector_tpu.ops.pallas import relgat_propagate_pallas
+
+        return relgat_propagate_pallas(
+            h,
+            attn_bank,
+            rel_bias,
+            src,
+            dst,
+            etype,
+            num_nodes=num_nodes,
+            negative_slope=negative_slope,
+            eps=eps,
+            attn_dropout_rate=attn_dropout_rate,
+            dropout_rng=dropout_rng,
+        )
+
+    proj_src = jnp.take(h, src, axis=0)                    # [E, H, F]
+    rel_att = jnp.take(attn_bank, etype, axis=1)           # [H, E, F]
+    rel_att = jnp.swapaxes(rel_att, 0, 1)                  # [E, H, F]
+
+    # SDDMM-like per-edge attention logits (reference ``layer.py:227-234``).
+    e = jnp.sum(proj_src * rel_att, axis=-1)               # [E, H]
+    e = jax.nn.leaky_relu(e, negative_slope=negative_slope)
+
+    alpha = segment_softmax(
+        e,
+        dst,
+        num_nodes,
+        eps=eps,
+        indices_are_sorted=edges_sorted_by_dst,
+    )                                                      # [E, H]
+
+    # Optional dropout on normalized attention weights (``layer.py:296-297``).
+    if attn_dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_dropout_rate, alpha.shape)
+        alpha = jnp.where(keep, alpha / (1.0 - attn_dropout_rate), 0.0)
+
+    msgs = proj_src * alpha[..., None]                     # [E, H, F]
+    out = segment_sum(
+        msgs, dst, num_nodes, indices_are_sorted=edges_sorted_by_dst
+    )                                                      # [N, H, F]
+
+    # Per-relation scalar bias, scatter-summed per dst AFTER aggregation and
+    # broadcast over heads and features (``layer.py:313-318``).
+    if rel_bias is not None:
+        bias_e = jnp.take(rel_bias, etype)                 # [E]
+        bias_n = segment_sum(
+            bias_e, dst, num_nodes, indices_are_sorted=edges_sorted_by_dst
+        )                                                  # [N]
+        out = out + bias_n[:, None, None]
+
+    return out
