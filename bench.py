@@ -1,0 +1,274 @@
+"""Benchmark: fused RelGAT train-step throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": "edges_per_sec_per_chip", "value": N, "unit": "edge-messages/s",
+   "vs_baseline": R}
+
+Definitions
+-----------
+- One train step = full-graph RelGAT forward (all layers) + scoring of a
+  triplet batch with device-resident negatives + multi-objective loss +
+  backward + Adam update (the reference's hot loop, SURVEY.md §3.2).
+- edges/s counts edge-messages: ``E_real * num_layers * steps / elapsed``
+  (each layer propagates every edge once, fwd+bwd).
+- ``vs_baseline`` compares against the PyTorch reference implementation
+  (same semantics re-derived without torch-scatter, same config) on this
+  machine's CPU — the reference publishes no numbers and its CUDA deps are
+  not installable here (BASELINE.md). The torch number is measured once and
+  cached in ``baselines/torch_cpu.json``.
+
+Usage: ``python bench.py [--small] [--measure-torch-baseline]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "baselines", "torch_cpu.json"
+)
+
+# Bench config: BASELINE config #2 scale class (plWordNet-like), sized for
+# one v5e chip.
+BENCH = dict(
+    num_nodes=100_000,
+    num_edges=1_000_000,
+    num_rel=40,
+    emb_dim=256,
+    gat_out_dim=64,
+    gat_heads=4,
+    gat_num_layers=2,
+    batch_size=1024,
+    num_neg=16,
+)
+BENCH_SMALL = dict(
+    num_nodes=10_000,
+    num_edges=100_000,
+    num_rel=8,
+    emb_dim=200,
+    gat_out_dim=64,
+    gat_heads=4,
+    gat_num_layers=2,
+    batch_size=512,
+    num_neg=16,
+)
+
+
+def _make_inputs(cfg_d, seed=0):
+    rng = np.random.default_rng(seed)
+    n, e = cfg_d["num_nodes"], cfg_d["num_edges"]
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    et = rng.integers(0, cfg_d["num_rel"], e).astype(np.int32)
+    emb = rng.standard_normal((n, cfg_d["emb_dim"])).astype(np.float32)
+    b = cfg_d["batch_size"]
+    bs = rng.integers(0, n, b).astype(np.int32)
+    br = rng.integers(0, cfg_d["num_rel"], b).astype(np.int32)
+    bd = rng.integers(0, n, b).astype(np.int32)
+    return src, dst, et, emb, bs, br, bd
+
+
+def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False):
+    import jax
+    import jax.numpy as jnp
+
+    from relgat_projector_tpu.config import ModelConfig, TrainConfig
+    from relgat_projector_tpu.data.graph import build_graph, pad_node_embeddings
+    from relgat_projector_tpu.models.model import init_model
+    from relgat_projector_tpu.schedules import make_lr_schedule
+    from relgat_projector_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+    from relgat_projector_tpu.train.step import make_train_step
+
+    src, dst, et, emb, bs, br, bd = _make_inputs(cfg_d)
+    graph = build_graph(src, dst, et, num_nodes=cfg_d["num_nodes"])
+    node_emb = jnp.asarray(pad_node_embeddings(emb, graph.num_nodes))
+
+    mcfg = ModelConfig(
+        in_dim=cfg_d["emb_dim"],
+        num_rel=cfg_d["num_rel"],
+        gat_out_dim=cfg_d["gat_out_dim"],
+        gat_heads=cfg_d["gat_heads"],
+        gat_num_layers=cfg_d["gat_num_layers"],
+        dropout=0.0,
+        project_to_input_size=True,
+        projection_layers=2,
+        scorer_type="distmult",
+        use_pallas=use_pallas,
+    )
+    tcfg = TrainConfig(
+        train_batch_size=cfg_d["batch_size"],
+        num_neg=cfg_d["num_neg"],
+        lr=1e-4,
+        use_self_adv_neg=True,
+        eval_ks_ranks=(1, 10),
+        warmup_steps=0,
+    )
+    schedule = make_lr_schedule(tcfg.lr, "constant", 10_000, 0)
+    optimizer = make_optimizer(tcfg, schedule)
+    params = init_model(jax.random.PRNGKey(0), mcfg)
+    state = create_train_state(params, optimizer, jax.random.PRNGKey(1))
+    step_fn = make_train_step(mcfg, tcfg, optimizer, schedule)
+
+    args = (
+        jnp.asarray(bs), jnp.asarray(br), jnp.asarray(bd),
+        jnp.ones((cfg_d["batch_size"],), jnp.float32),
+    )
+    for _ in range(warmup):
+        state, metrics = step_fn(state, node_emb, graph, *args)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, node_emb, graph, *args)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    edge_messages = cfg_d["num_edges"] * cfg_d["gat_num_layers"] * steps
+    return edge_messages / elapsed, elapsed / steps
+
+
+def bench_torch_reference(cfg_d, steps=3):
+    """Reference-semantics train step in torch (CPU) — per-head Python loop,
+    scatter-based segment softmax, Adam — as the measured baseline."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    src_n, dst_n, et_n, emb_n, bs, br, bd = _make_inputs(cfg_d)
+    src = torch.tensor(src_n, dtype=torch.long)
+    dst = torch.tensor(dst_n, dtype=torch.long)
+    et = torch.tensor(et_n, dtype=torch.long)
+    x0 = torch.tensor(emb_n)
+    n = cfg_d["num_nodes"]
+    heads, f = cfg_d["gat_heads"], cfg_d["gat_out_dim"]
+    r = cfg_d["num_rel"]
+
+    def scatter_add(s, idx, dim_size):
+        out = torch.zeros((dim_size,) + s.shape[1:], dtype=s.dtype)
+        return out.index_add_(0, idx, s)
+
+    def scatter_max(s, idx, dim_size):
+        out = torch.full((dim_size,), float("-inf"), dtype=s.dtype)
+        out = out.scatter_reduce(0, idx, s, reduce="amax", include_self=True)
+        out[out == float("-inf")] = 0.0
+        return out
+
+    layers = []
+    in_dim = cfg_d["emb_dim"]
+    for _ in range(cfg_d["gat_num_layers"]):
+        proj = [
+            torch.nn.Parameter(torch.randn(f, in_dim) * 0.05)
+            for _ in range(heads)
+        ]
+        attn = [
+            torch.nn.Parameter(torch.randn(r, f) * 0.05) for _ in range(heads)
+        ]
+        bias = torch.nn.Parameter(torch.zeros(r))
+        layers.append((proj, attn, bias))
+        in_dim = heads * f
+    w_proj1 = torch.nn.Parameter(torch.randn(in_dim, in_dim) * 0.02)
+    w_proj2 = torch.nn.Parameter(torch.randn(in_dim, cfg_d["emb_dim"]) * 0.02)
+    rel_emb = torch.nn.Parameter(torch.randn(r, cfg_d["emb_dim"]) * 0.05)
+    params = [p for l in layers for grp in l[:2] for p in grp]
+    params += [l[2] for l in layers] + [w_proj1, w_proj2, rel_emb]
+    opt = torch.optim.Adam(params, lr=1e-4)
+
+    bs_t = torch.tensor(bs, dtype=torch.long)
+    br_t = torch.tensor(br, dtype=torch.long)
+    bd_t = torch.tensor(bd, dtype=torch.long)
+    k = cfg_d["num_neg"]
+
+    def train_step():
+        opt.zero_grad()
+        x = x0
+        for li, (proj, attn, bias) in enumerate(layers):
+            proj_src = [(x @ w.t())[src] for w in proj]
+            outs = []
+            for h in range(heads):
+                e = (proj_src[h] * attn[h][et]).sum(-1)
+                e = F.leaky_relu(e, 0.2)
+                m = scatter_max(e, dst, n)
+                w_ = torch.exp(e - m[dst])
+                denom = scatter_add(w_, dst, n).clamp_min(1e-16)
+                alpha = w_ / denom[dst]
+                outs.append(scatter_add(proj_src[h] * alpha.unsqueeze(-1), dst, n))
+            b_ = scatter_add(bias[et], dst, n).unsqueeze(-1)
+            x = torch.cat([o + b_ for o in outs], -1)
+            if li < len(layers) - 1:
+                x = F.elu(x)
+        x = (x @ w_proj1) @ w_proj2
+        sv, dv = x[bs_t], x[bd_t]
+        rel = rel_emb[br_t]
+        pos = (sv * rel * dv).sum(-1)
+        neg_idx = torch.randint(0, n, (bs_t.shape[0], k))
+        nv = x[neg_idx]
+        neg = (sv.unsqueeze(1) * rel.unsqueeze(1) * nv).sum(-1)
+        with torch.no_grad():
+            wts = torch.softmax(neg, dim=1)
+        loss = (
+            -F.logsigmoid(pos).mean()
+            - (wts * F.logsigmoid(-neg)).sum(1).mean()
+            + (1 - F.cosine_similarity(sv * rel, dv, dim=-1)).mean()
+        )
+        loss.backward()
+        opt.step()
+
+    train_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step()
+    elapsed = time.perf_counter() - t0
+    edge_messages = cfg_d["num_edges"] * cfg_d["gat_num_layers"] * steps
+    return edge_messages / elapsed, elapsed / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--measure-torch-baseline", action="store_true")
+    args = ap.parse_args()
+
+    cfg_d = BENCH_SMALL if args.small else BENCH
+    key = "small" if args.small else "full"
+
+    baseline = None
+    if os.path.isfile(BASELINE_PATH):
+        with open(BASELINE_PATH) as fh:
+            baseline = json.load(fh).get(key)
+    if baseline is None or args.measure_torch_baseline:
+        eps_torch, spt = bench_torch_reference(cfg_d)
+        baseline = {"edges_per_sec": eps_torch, "sec_per_step": spt}
+        os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
+        existing = {}
+        if os.path.isfile(BASELINE_PATH):
+            with open(BASELINE_PATH) as fh:
+                existing = json.load(fh)
+        existing[key] = baseline
+        with open(BASELINE_PATH, "w") as fh:
+            json.dump(existing, fh, indent=2)
+
+    eps, spt = bench_jax(cfg_d, steps=args.steps, use_pallas=args.use_pallas)
+    print(
+        json.dumps(
+            {
+                "metric": "edges_per_sec_per_chip",
+                "value": round(eps),
+                "unit": "edge-messages/s",
+                "vs_baseline": round(eps / baseline["edges_per_sec"], 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

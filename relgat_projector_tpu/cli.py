@@ -1,0 +1,250 @@
+"""Command-line trainer — flag surface parity with the reference CLI.
+
+Mirrors ``relgat_projector_apps/trainers/relgat_projector.py:27-381``
+(~35 flags, same names and defaults) plus TPU-specific additions
+(``--use-pallas``, ``--resume``, ``--synthetic``). Console entry point:
+``relgat-projector-train`` (wired in setup.py, parity with reference
+``setup.py:50-54``).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+from relgat_projector_tpu.config import (
+    Defaults,
+    MeshConfig,
+    ModelConfig,
+    RunConfig,
+    TrainConfig,
+    apply_architecture_preset,
+)
+
+APP_DESCRIPTION = """RelGAT TPU trainer.
+
+Consumes the reference dataset format: a pickle of node embeddings
+({node_id: vector}), a JSON relation mapping ({rel_name: idx}) and a JSON
+triplet list ([src_id, dst_id, rel_name]); or --synthetic for a generated KG.
+"""
+
+
+def get_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=APP_DESCRIPTION)
+
+    p.add_argument("--architecture-name", dest="architecture", type=str,
+                   default=None,
+                   help="Preset name [small, medium, large] (optional)")
+
+    # Dataset
+    p.add_argument("--nodes-embeddings-path", type=str, default=None)
+    p.add_argument("--relations-mapping", type=str, default=None)
+    p.add_argument("--relations-triplets", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="Train on a generated synthetic KG (no files needed)")
+    p.add_argument("--synthetic-nodes", type=int, default=10_000)
+    p.add_argument("--synthetic-edges", type=int, default=100_000)
+    p.add_argument("--synthetic-rels", type=int, default=8)
+    p.add_argument("--synthetic-dim", type=int, default=200)
+
+    # Training process
+    p.add_argument("--train-ratio", type=float,
+                   default=Defaults.TRAIN_EVAL_RATIO)
+    p.add_argument("--epochs", type=int, default=Defaults.EPOCHS)
+    p.add_argument("--batch-size", type=int, default=Defaults.TRAIN_BATCH_SIZE)
+    p.add_argument("--log-every-n-steps", dest="log_every_n_steps", type=int,
+                   default=Defaults.LOG_EVERY_N_STEPS)
+    p.add_argument("--scorer", type=str, choices=["distmult", "transe"],
+                   default=Defaults.GAT_SCORER)
+    p.add_argument("--gat-out-dim", dest="gat_out_dim", type=int,
+                   default=Defaults.GAT_OUT_DIM)
+    p.add_argument("--gat-num-layers", dest="gat_num_layers", type=int,
+                   default=Defaults.GAT_NUM_LAYERS)
+    p.add_argument("--num-neg", dest="num_neg", type=int,
+                   default=Defaults.NUM_NEG)
+    p.add_argument("--heads", type=int, default=Defaults.GAT_HEADS)
+    p.add_argument("--project-to-input-size", dest="project_to_input_size",
+                   action="store_true")
+    p.add_argument("--projection-layers", dest="projection_layers", type=int,
+                   default=1)
+    p.add_argument("--projection-dropout", dest="projection_dropout",
+                   type=float, default=Defaults.PROJECTION_DROPOUT)
+    p.add_argument("--projection-hidden-dim", dest="projection_hidden_dim",
+                   type=int, default=0)
+    p.add_argument("--dropout", type=float, default=Defaults.GAT_DROPOUT)
+    p.add_argument("--dropout-relation-attention",
+                   dest="dropout_rel_attention", type=float,
+                   default=Defaults.GAT_ATT_DROPOUT)
+    p.add_argument("--lr", type=float, default=Defaults.LR)
+    p.add_argument("--lr-scheduler", dest="lr_scheduler", type=str,
+                   choices=["linear", "cosine", "constant"],
+                   default=Defaults.LR_SCHEDULER)
+    p.add_argument("--lr-decay", dest="lr_decay", type=float, default=1.0)
+    p.add_argument("--warmup-steps", dest="warmup_steps", default=None)
+    p.add_argument("--weight-decay", dest="weight_decay", type=float,
+                   default=0.0)
+    p.add_argument("--grad-clip-norm", dest="grad_clip_norm", type=float,
+                   default=None)
+    p.add_argument("--use-self-adv-neg", dest="use_self_adv_neg",
+                   action="store_true")
+    p.add_argument("--self-adv-alpha", dest="self_adv_alpha", type=float,
+                   default=1.0)
+    p.add_argument("--eval-every-n-steps", dest="eval_every_n_steps",
+                   default=None)
+    p.add_argument("--early-stop-patience", dest="early_stop_patience",
+                   type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save-dir", dest="save_dir", type=str,
+                   default=Defaults.DEFAULT_TRAINER_OUT_DIR)
+    p.add_argument("--save-every-n-steps", dest="save_every_n_steps",
+                   type=int, default=None)
+    p.add_argument("--max-checkpoints", dest="max_checkpoints", type=int,
+                   default=5)
+    p.add_argument("--run-name", type=str, default=None)
+    p.add_argument("--wandb", action="store_true", help="Log to W&B")
+    p.add_argument("--margin", type=float, default=1.0)
+    p.add_argument("--relgat-weight", dest="relgat_weight", type=float,
+                   default=1.0)
+    p.add_argument("--pos-cosine-weight", dest="pos_cosine_weight",
+                   type=float, default=1.0)
+    p.add_argument("--neg-cosine-weight", dest="neg_cosine_weight",
+                   type=float, default=1.0)
+    p.add_argument("--mse-weight", dest="mse_weight", type=float, default=0.0)
+
+    # TPU-specific
+    p.add_argument("--use-pallas", dest="use_pallas", action="store_true",
+                   help="Use fused Pallas segment kernels for the hot path")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from the newest checkpoint under --save-dir")
+    p.add_argument("--optimizer", type=str, choices=["adam", "adamw"],
+                   default="adam")
+    p.add_argument("--compute-dtype", dest="compute_dtype", type=str,
+                   choices=["float32", "bfloat16"], default="float32")
+
+    return p.parse_args(argv)
+
+
+def build_run_config(args: argparse.Namespace) -> RunConfig:
+    # Flag fixups (parity with reference apps ``:347-372``).
+    if args.save_every_n_steps is not None and args.save_every_n_steps <= 0:
+        args.save_every_n_steps = None
+    warmup: Optional[int] = (
+        int(args.warmup_steps)
+        if args.warmup_steps is not None and str(args.warmup_steps).strip()
+        else None
+    )
+    eval_every: Optional[int] = (
+        int(args.eval_every_n_steps)
+        if args.eval_every_n_steps is not None
+        and str(args.eval_every_n_steps).strip()
+        else None
+    )
+
+    arch = apply_architecture_preset(
+        args.architecture,
+        {},
+    )
+    model = ModelConfig(
+        in_dim=1,   # derived from data by the trainer
+        num_rel=1,  # derived from data by the trainer
+        gat_out_dim=arch.get("gat_out_dim", args.gat_out_dim),
+        gat_heads=arch.get("gat_heads", args.heads),
+        gat_num_layers=arch.get("gat_num_layers", args.gat_num_layers),
+        dropout=args.dropout,
+        rel_attn_dropout=args.dropout_rel_attention,
+        scorer_type=args.scorer,
+        project_to_input_size=args.project_to_input_size,
+        projection_layers=max(1, args.projection_layers)
+        if args.project_to_input_size
+        else args.projection_layers,
+        projection_dropout=args.projection_dropout,
+        projection_hidden_dim=args.projection_hidden_dim,
+        compute_dtype=args.compute_dtype,
+        use_pallas=args.use_pallas,
+    )
+    train = TrainConfig(
+        epochs=args.epochs,
+        train_batch_size=args.batch_size,
+        eval_batch_size=args.batch_size,
+        num_neg=args.num_neg,
+        train_ratio=args.train_ratio,
+        seed=args.seed,
+        lr=args.lr,
+        lr_scheduler=args.lr_scheduler,
+        lr_decay=args.lr_decay,
+        warmup_steps=warmup,
+        weight_decay=args.weight_decay,
+        grad_clip_norm=args.grad_clip_norm,
+        optimizer=args.optimizer,
+        margin=args.margin,
+        use_self_adv_neg=args.use_self_adv_neg,
+        self_adv_alpha=args.self_adv_alpha,
+        relgat_weight=args.relgat_weight,
+        pos_cosine_weight=args.pos_cosine_weight,
+        neg_cosine_weight=args.neg_cosine_weight,
+        mse_weight=args.mse_weight,
+        eval_every_n_steps=eval_every,
+        save_every_n_steps=args.save_every_n_steps,
+        early_stop_patience=args.early_stop_patience,
+        eval_ks_ranks=tuple(range(1, args.num_neg + 1)),
+        log_every_n_steps=args.log_every_n_steps,
+        max_checkpoints=args.max_checkpoints,
+        out_dir=args.save_dir,
+    )
+    return RunConfig(
+        model=model,
+        train=train,
+        mesh=MeshConfig(),
+        architecture_name=args.architecture,
+        run_name=args.run_name,
+    )
+
+
+def main(argv=None) -> None:
+    args = get_args(argv)
+    run_config = build_run_config(args)
+
+    if args.synthetic:
+        from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+
+        node2emb, rel2idx, edge_index_raw = generate_synthetic_kg(
+            num_nodes=args.synthetic_nodes,
+            num_edges=args.synthetic_edges,
+            num_rel=args.synthetic_rels,
+            emb_dim=args.synthetic_dim,
+            seed=args.seed,
+        )
+    else:
+        if not (
+            args.nodes_embeddings_path
+            and args.relations_mapping
+            and args.relations_triplets
+        ):
+            raise SystemExit(
+                "Provide --nodes-embeddings-path/--relations-mapping/"
+                "--relations-triplets, or use --synthetic."
+            )
+        from relgat_projector_tpu.data.io import load_embeddings_and_edges
+
+        node2emb, rel2idx, edge_index_raw = load_embeddings_and_edges(
+            path_to_nodes=args.nodes_embeddings_path,
+            path_to_rels=args.relations_mapping,
+            path_to_edges=args.relations_triplets,
+        )
+
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    trainer = RelGATTrainer(
+        run_config,
+        node2emb,
+        rel2idx,
+        edge_index_raw,
+        log_to_wandb=args.wandb,
+    )
+    if args.resume:
+        trainer.maybe_resume()
+    trainer.train(epochs=args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,9 +37,21 @@ def init_scorer(
 
 
 def l2_normalize(x: jax.Array, eps: float = _NORMALIZE_EPS) -> jax.Array:
-    """torch ``F.normalize(p=2)`` semantics: ``x / max(||x||, eps)``."""
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    """torch ``F.normalize(p=2)`` semantics: ``x / max(||x||, eps)``.
+
+    Written as ``x / sqrt(max(sum(x^2), eps^2))`` — identical values, but the
+    gradient at ``x = 0`` is 0 instead of NaN (``sqrt`` differentiates the
+    clamped constant). Zero rows are real here: isolated nodes aggregate to
+    exactly zero and get gathered as sampled negatives.
+    """
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
+def safe_l2_norm(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """``||x||_2`` along the last axis with a zero (not NaN) gradient at 0."""
+    sq = jnp.sum(jnp.square(x), axis=-1)
+    return jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def score_triplets(
@@ -57,7 +69,7 @@ def score_triplets(
         s = l2_normalize(src_vec)
         r = l2_normalize(rel)
         d = l2_normalize(dst_vec)
-        return -jnp.linalg.norm(s + r - d, axis=-1)
+        return -safe_l2_norm(s + r - d)
     raise ValueError(f"Unknown scorer_type: {scorer_type}")
 
 

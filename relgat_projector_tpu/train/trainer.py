@@ -1,0 +1,419 @@
+"""RelGATTrainer — the training runtime.
+
+TPU redesign of reference ``trainer/relgat_projector.py:31-910``. The wiring
+order and observable behavior match (seed -> schedule -> dataset -> storage
+-> logger -> model -> optimizer; epoch loop with periodic step logging,
+step/epoch eval, early stopping, best-checkpoint saves, final save), but the
+hot path is one donated jitted step with device-resident negative sampling,
+and metric fetches are deferred to log boundaries so the device never stalls
+per batch.
+
+Quirk fixes vs the reference (documented deltas, SURVEY.md §3):
+1. best-metric direction: lower-is-better for ``cosine_pos``, HIGHER-is-
+   better when falling back to MRR (the reference hardcoded lower-is-better
+   for both, so decreasing MRR counted as improvement),
+2. ``early_stop_patience=None`` disables early stopping instead of crashing,
+3. checkpoint pruning works,
+4. training can RESUME from a checkpoint (full train state).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relgat_projector_tpu.config import RunConfig
+from relgat_projector_tpu.data.dataset import Batch, RelGATData
+from relgat_projector_tpu.schedules import (
+    compute_total_and_warmup_steps,
+    make_lr_schedule,
+)
+from relgat_projector_tpu.train.checkpoint import RelGATStorage
+from relgat_projector_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+)
+from relgat_projector_tpu.train.step import make_eval_step, make_train_step
+from relgat_projector_tpu.utils.logging_adapter import LoggerAdapter
+from relgat_projector_tpu.utils.seeding import RandomSeed
+import dataclasses
+
+
+class RelGATTrainer:
+    def __init__(
+        self,
+        run_config: RunConfig,
+        node2emb: Dict[int, np.ndarray],
+        rel2idx: Dict[str, int],
+        edge_index_raw: List[Tuple[int, int, str]],
+        *,
+        log_to_wandb: bool = False,
+        log_to_console: bool = True,
+    ):
+        tc = run_config.train
+
+        # Seed first so the split is reproducible (reference ``trainer:97-99``).
+        self.seeder = RandomSeed(tc.seed)
+
+        self.dataset = RelGATData(
+            node2emb,
+            rel2idx,
+            edge_index_raw,
+            train_ratio=tc.train_ratio,
+            seed=tc.seed,
+        )
+
+        # Derive data-dependent model dims.
+        self.model_cfg = dataclasses.replace(
+            run_config.model,
+            in_dim=self.dataset.emb_dim,
+            num_rel=self.dataset.num_rel,
+        )
+        self.run_config = dataclasses.replace(run_config, model=self.model_cfg)
+        self.train_cfg = tc
+
+        self.total_steps, self.warmup_steps = compute_total_and_warmup_steps(
+            self.dataset.num_train,
+            tc.train_batch_size,
+            tc.epochs,
+            tc.warmup_steps,
+        )
+        self.lr_schedule = make_lr_schedule(
+            tc.lr, tc.lr_scheduler, self.total_steps, self.warmup_steps,
+            tc.lr_decay,
+        )
+        self.optimizer = make_optimizer(tc, self.lr_schedule)
+
+        self.storage = RelGATStorage(
+            out_dir=tc.out_dir,
+            max_checkpoints=tc.max_checkpoints,
+            save_every_n_steps=tc.save_every_n_steps,
+        )
+        self.log_adapter = LoggerAdapter(
+            run_name=run_config.run_name,
+            architecture_name=run_config.architecture_name,
+            base_model_name=run_config.base_model_name,
+            log_every_n_steps=tc.log_every_n_steps,
+            log_to_wandb=log_to_wandb,
+            log_to_console=log_to_console,
+            run_config=self.run_config.to_dict(),
+        )
+
+        # Model + state.
+        from relgat_projector_tpu.models.model import init_model
+
+        root_key = self.seeder.jax_key()
+        init_key, train_key = jax.random.split(root_key)
+        params = init_model(init_key, self.model_cfg)
+        self.state: TrainState = create_train_state(
+            params, self.optimizer, train_key
+        )
+
+        self.node_emb = jnp.asarray(self.dataset.node_emb)
+        self.graph = self.dataset.graph
+
+        self._train_step = make_train_step(
+            self.model_cfg, tc, self.optimizer, self.lr_schedule
+        )
+        self._eval_step = make_eval_step(self.model_cfg, tc)
+
+        # Loop bookkeeping (parity with reference fields).
+        self.global_step = 0
+        self.training_should_stop = False
+        self.eval_every_n_steps = (
+            int(tc.eval_every_n_steps)
+            if tc.eval_every_n_steps is not None and int(tc.eval_every_n_steps) > 0
+            else None
+        )
+        self.early_stop_patience = (
+            int(tc.early_stop_patience)
+            if tc.early_stop_patience is not None
+            else None
+        )
+        self.eval_ks_ranks = tuple(sorted(set(tc.eval_ks_ranks)))
+        # Fixed metric directions (SURVEY §3 quirk 2): cosine_pos lower is
+        # better; MRR fallback higher is better.
+        self.best_metric_value: Optional[float] = None
+        self._no_improve_steps = 0
+        self.best_ckpt_dir: Optional[str] = None
+
+        self.log_adapter.init_wandb_if_needed()
+
+    # ------------------------------------------------------------------
+    # Resume
+    # ------------------------------------------------------------------
+    def maybe_resume(self, ckpt_dir: Optional[str] = None) -> bool:
+        """Restore full train state from ``ckpt_dir`` (or the newest
+        resumable checkpoint under ``out_dir``). Returns True if resumed."""
+        target = ckpt_dir or self.storage.latest_resumable()
+        if target is None:
+            return False
+        self.state = self.storage.load_checkpoint(target, self.state)
+        self.global_step = int(self.state.step)
+        print(f"Resumed from {target} at step {self.global_step}")
+        return True
+
+    # ------------------------------------------------------------------
+    # Evaluation (reference ``trainer:275-376``)
+    # ------------------------------------------------------------------
+    def evaluate(self, ks: Optional[Tuple[int, ...]] = None):
+        ks = tuple(ks) if ks else self.eval_ks_ranks
+        sums: Dict[str, float] = {}
+        n_total = 0.0
+        eval_rng = jax.random.fold_in(self.state.rng, 2**30)
+        for bi, batch in enumerate(
+            self.dataset.eval_batches(self.train_cfg.eval_batch_size)
+        ):
+            out = self._eval_step(
+                self.state.params,
+                self.node_emb,
+                self.graph,
+                jnp.asarray(batch.src),
+                jnp.asarray(batch.rel),
+                jnp.asarray(batch.dst),
+                jnp.asarray(batch.weight),
+                jax.random.fold_in(eval_rng, bi),
+            )
+            out = jax.device_get(out)
+            n_total += float(out["n_examples"])
+            for k, v in out.items():
+                if k.endswith("_sum"):
+                    sums[k] = sums.get(k, 0.0) + float(v)
+
+        n = max(1.0, n_total)
+        avg_mrr = sums.get("mrr_sum", 0.0) / n
+        avg_hits = {k: sums.get(f"hits@{k}_sum", 0.0) / n for k in ks}
+        avg_loss = sums.get("loss_sum", 0.0) / n
+        avg_cos_pos = (
+            sums["cosine_pos_sum"] / n if "cosine_pos_sum" in sums else None
+        )
+        avg_cos_neg = (
+            sums["cosine_neg_sum"] / n if "cosine_neg_sum" in sums else None
+        )
+        avg_mse = sums["mse_sum"] / n if "mse_sum" in sums else None
+        return avg_mrr, avg_hits, avg_loss, avg_cos_pos, avg_cos_neg, avg_mse
+
+    # ------------------------------------------------------------------
+    # Training loop (reference ``trainer:378-496``)
+    # ------------------------------------------------------------------
+    def train(self, epochs: Optional[int] = None):
+        epochs = int(epochs) if epochs is not None else self.train_cfg.epochs
+        self._log_begin_information()
+
+        for epoch in range(1, epochs + 1):
+            self._single_epoch(epoch, epochs)
+            if self.training_should_stop:
+                break
+            if self.eval_every_n_steps is None:
+                if self._run_eval_and_maybe_early_stop(epoch=epoch):
+                    break
+
+        out_model_dir = self._save_checkpoint(subdir=None)
+        print(f"\nTraining finished - model saved to: {out_model_dir}")
+        self.log_adapter.finish_wandb_if_needed()
+        return out_model_dir
+
+    def _single_epoch(self, epoch: int, epochs: int):
+        bs = self.train_cfg.train_batch_size
+        # Deferred metric futures: device scalars fetched only at log time.
+        pending: List[Tuple[int, Any]] = []
+        running_loss = 0.0
+        running_examples = 0
+
+        for step_in_epoch, batch in enumerate(
+            self.dataset.train_batches(bs), start=1
+        ):
+            step_start = time.time()
+            self.state, metrics = self._train_step(
+                self.state,
+                self.node_emb,
+                self.graph,
+                jnp.asarray(batch.src),
+                jnp.asarray(batch.rel),
+                jnp.asarray(batch.dst),
+                jnp.asarray(batch.weight),
+            )
+            self.global_step += 1
+            n_valid = float(batch.weight.sum())
+            pending.append((step_in_epoch, metrics, n_valid, step_start))
+
+            if self.global_step % self.log_adapter.log_every_n_steps == 0:
+                running_loss, running_examples = self._flush_logs(
+                    epoch, pending, running_loss, running_examples
+                )
+                pending = []
+
+            if (
+                self.eval_every_n_steps is not None
+                and self.global_step % self.eval_every_n_steps == 0
+            ):
+                if self._run_eval_and_maybe_early_stop(epoch=epoch):
+                    self.training_should_stop = True
+                    return
+
+        # Account for unflushed tail so running averages stay correct.
+        if pending:
+            for _, m, n_valid, _ in pending:
+                if bool(np.asarray(m["finite"])):
+                    running_loss += float(np.asarray(m["loss"])) * n_valid
+                    running_examples += int(n_valid)
+
+    def _flush_logs(
+        self,
+        epoch: int,
+        pending: List[Tuple[int, Any, float, float]],
+        running_loss: float,
+        running_examples: int,
+    ) -> Tuple[float, int]:
+        nonfinite_new = 0
+        for _, m, n_valid, _ in pending:
+            if bool(np.asarray(m["finite"])):
+                running_loss += float(np.asarray(m["loss"])) * n_valid
+                running_examples += int(n_valid)
+            else:
+                nonfinite_new += 1
+        step_in_epoch, metrics, _, step_start = pending[-1]
+        metrics = jax.device_get(metrics)
+        step_time = time.time() - step_start
+
+        avg_running_loss = running_loss / max(1, running_examples)
+        log = {
+            "epoch": epoch,
+            "train/loss_step": avg_running_loss,
+            "train/step_in_epoch": step_in_epoch,
+            "train/grad_norm": float(metrics["grad_norm"]),
+            "train/lr": float(metrics["lr"]),
+            "train/step_time": step_time,
+            "train/mrr": float(metrics["mrr"]),
+            "train/pos_score_mean": float(metrics["pos_score_mean"]),
+            "train/neg_score_mean": float(metrics["neg_score_mean"]),
+        }
+        if "cosine_pos" in metrics:
+            log["train/cosine_pos"] = float(metrics["cosine_pos"])
+            log["train/cosine_neg"] = float(metrics["cosine_neg"])
+            log["train/mse"] = float(metrics["mse"])
+        for k in self.eval_ks_ranks:
+            log[f"train/hits@{k}"] = float(metrics.get(f"hits@{k}", 0.0))
+        if nonfinite_new:
+            log["train/nonfinite_loss_steps"] = nonfinite_new
+        nfs = int(metrics.get("nonfinite_scores", 0))
+        if nfs:
+            log["train/nonfinite_scores"] = nfs
+
+        print(
+            f"\nGlobal step {self.global_step} "
+            f"grad_norm {log['train/grad_norm']:.8f} "
+            f"loss_step: {avg_running_loss:.8f} "
+            f"lr: {log['train/lr']:.8f} "
+            f"step_time {step_time}"
+        )
+        self.log_adapter.log_metrics(metrics=log, step=self.global_step)
+        # Reconcile with the device's finite-step counter.
+        self.global_step = int(self.state.step)
+        return 0.0, 1
+
+    # ------------------------------------------------------------------
+    # Eval plumbing + early stop (reference ``trainer:678-769``)
+    # ------------------------------------------------------------------
+    def _run_eval_and_maybe_early_stop(self, *, epoch: int) -> bool:
+        mrr, hits, eval_loss, cos_pos, cos_neg, mse = self.evaluate(
+            self.eval_ks_ranks
+        )
+        metrics = {"epoch": epoch, "eval/loss": eval_loss, "eval/mrr": mrr}
+        if cos_pos is not None:
+            metrics["eval/cosine_pos"] = cos_pos
+        if cos_neg is not None:
+            metrics["eval/cosine_neg"] = cos_neg
+        if mse is not None:
+            metrics["eval/mse"] = mse
+        for k, v in hits.items():
+            metrics[f"eval/hits@{k}"] = v
+        self.log_adapter.log_metrics(metrics=metrics, step=self.global_step)
+        return self._on_eval_end(mrr, cos_pos)
+
+    def _on_eval_end(self, mrr: float, cosine: Optional[float]) -> bool:
+        if cosine is not None:
+            metric_value, upper_is_better = cosine, False
+        else:
+            metric_value, upper_is_better = mrr, True
+
+        if self.best_metric_value is None:
+            improved = True
+        elif upper_is_better:
+            improved = metric_value > self.best_metric_value
+        else:
+            improved = metric_value < self.best_metric_value
+
+        if improved:
+            self.best_metric_value = metric_value
+            if (
+                self.storage.save_every_n_steps is not None
+                and self.global_step % self.storage.save_every_n_steps == 0
+            ):
+                self.best_ckpt_dir = f"best_checkpoint_{self.global_step}"
+                self._save_checkpoint(subdir=self.best_ckpt_dir)
+                self.storage.prune_checkpoints()
+                self.log_adapter.log_metrics(
+                    metrics={"checkpoint/step": self.global_step},
+                    step=self.global_step,
+                )
+            self._no_improve_steps = 0
+        else:
+            self._no_improve_steps += 1
+
+        if (
+            self.early_stop_patience is not None
+            and self._no_improve_steps >= self.early_stop_patience
+        ):
+            print(
+                "\n  Early-stopping triggered - no improvement for "
+                f"{self.early_stop_patience} evaluation steps."
+            )
+            self.training_should_stop = True
+            return True
+        return False
+
+    def _log_begin_information(self):
+        self.log_adapter.log_metrics(
+            metrics={
+                "scheduler/total_steps": self.total_steps,
+                "scheduler/warmup_steps": self.warmup_steps,
+                "scheduler/type": self.train_cfg.lr_scheduler,
+                "config/use_self_adv_neg": float(self.train_cfg.use_self_adv_neg),
+                "config/self_adv_alpha": float(self.train_cfg.self_adv_alpha),
+                "train/base_lr": self.train_cfg.lr,
+            },
+            step=self.global_step,
+        )
+
+    def _save_checkpoint(self, subdir: Optional[str]) -> str:
+        from relgat_projector_tpu.config import Defaults
+
+        prunable = subdir is not None
+        if subdir is None:
+            subdir = (
+                f"relgat_"
+                f"scorer-{self.model_cfg.scorer_type}_"
+                f"lrscheduler-{self.train_cfg.lr_scheduler}"
+            )
+        return self.storage.save_checkpoint(
+            subdir=subdir,
+            state=self.state,
+            model_cfg=self.model_cfg,
+            files=[
+                (
+                    Defaults.TRAINING_CONFIG_FILE_NAME,
+                    self.run_config.to_dict(),
+                ),
+                (
+                    Defaults.TRAINING_CONFIG_REL_TO_IDX,
+                    self.dataset.rel2idx,
+                ),
+            ],
+            prunable=prunable,
+        )

@@ -1,0 +1,194 @@
+"""Trainer runtime: optimizer parity with torch Adam, jitted step semantics
+(non-finite skip), checkpoint/resume, end-to-end smoke (SURVEY §4 item 5)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from relgat_projector_tpu.config import ModelConfig, RunConfig, TrainConfig
+from relgat_projector_tpu.data import RelGATData, generate_synthetic_kg
+from relgat_projector_tpu.schedules import make_lr_schedule
+from relgat_projector_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+)
+from relgat_projector_tpu.train.step import make_train_step
+from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+
+def test_optimizer_matches_torch_adam():
+    """optax chain == torch.optim.Adam(lr, weight_decay) + clip, 5 steps."""
+    w0 = np.random.default_rng(0).standard_normal((4, 3)).astype(np.float32)
+    grads_seq = [
+        np.random.default_rng(i + 1).standard_normal((4, 3)).astype(np.float32)
+        for i in range(5)
+    ]
+
+    # torch reference
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=1e-2, weight_decay=0.1)
+    for g in grads_seq:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        torch.nn.utils.clip_grad_norm_([wt], max_norm=1.0)
+        opt.step()
+
+    # ours
+    tc = TrainConfig(lr=1e-2, weight_decay=0.1, grad_clip_norm=1.0,
+                     lr_scheduler="constant", warmup_steps=0)
+    sched = make_lr_schedule(1e-2, "constant", 1000, 0)
+    optimizer = make_optimizer(tc, sched)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = optimizer.init(params)
+    for g in grads_seq:
+        updates, opt_state = optimizer.update(
+            {"w": jnp.asarray(g)}, opt_state, params
+        )
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), rtol=2e-4, atol=1e-6
+    )
+
+
+def _tiny_trainer(tmp_path, **overrides):
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=300, num_edges=3000, num_rel=4, emb_dim=32, seed=0
+    )
+    defaults = dict(
+        epochs=2,
+        train_batch_size=128,
+        num_neg=4,
+        lr=5e-3,
+        lr_scheduler="constant",
+        warmup_steps=0,
+        log_every_n_steps=50,
+        out_dir=str(tmp_path),
+        eval_ks_ranks=(1, 2, 4),
+        seed=7,
+    )
+    defaults.update(overrides)
+    run = RunConfig(
+        model=ModelConfig(
+            in_dim=32, num_rel=4, gat_out_dim=16, gat_heads=2,
+            gat_num_layers=1, dropout=0.0, project_to_input_size=True,
+            projection_layers=1, projection_dropout=0.0,
+        ),
+        train=TrainConfig(**defaults),
+    )
+    return RelGATTrainer(
+        run, node2emb, rel2idx, triplets, log_to_console=False
+    )
+
+
+def test_nonfinite_loss_skips_update():
+    tr = _tiny_trainer("/tmp/relgat-test-nf")
+    params_before = jax.device_get(tr.state.params)  # state gets donated
+    bad_emb = tr.node_emb.at[0, 0].set(jnp.nan)
+    batch = next(iter(tr.dataset.train_batches(128)))
+    new_state, metrics = tr._train_step(
+        tr.state, bad_emb, tr.graph,
+        jnp.asarray(batch.src), jnp.asarray(batch.rel),
+        jnp.asarray(batch.dst), jnp.asarray(batch.weight),
+    )
+    assert not bool(metrics["finite"])
+    assert int(new_state.step) == 0
+    assert int(new_state.nonfinite_steps) == 1
+    # params unchanged
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(params_before),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_end_to_end_training_improves(tmp_path):
+    """BASELINE smoke: loss decreases and eval MRR beats random on the
+    structured synthetic KG."""
+    tr = _tiny_trainer(tmp_path, epochs=12, lr=1e-2)
+    mrr0, hits0, loss0, cos0, _, _ = tr.evaluate()
+    tr.train()
+    mrr1, hits1, loss1, cos1, _, _ = tr.evaluate()
+
+    k = tr.train_cfg.num_neg
+    random_mrr = sum(1.0 / r for r in range(1, k + 2)) / (k + 1)
+    assert mrr1 > random_mrr + 0.05, (mrr0, mrr1, random_mrr)
+    assert mrr1 > mrr0
+    assert cos1 < cos0  # reconstruction improves
+    assert loss1 < loss0
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    tr = _tiny_trainer(tmp_path, epochs=1)
+    tr.train()
+    step_after = int(tr.state.step)
+    assert step_after > 0
+
+    # Fresh trainer, resume from the final checkpoint.
+    tr2 = _tiny_trainer(tmp_path, epochs=1)
+    assert int(tr2.state.step) == 0
+    assert tr2.maybe_resume()
+    assert int(tr2.state.step) == step_after
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.state.params),
+        jax.tree_util.tree_leaves(tr2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.state.opt_state),
+        jax.tree_util.tree_leaves(tr2.state.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_pruning_works(tmp_path):
+    """FIFO pruning keeps max_checkpoints dirs (fixes reference quirk 4)."""
+    tr = _tiny_trainer(tmp_path, max_checkpoints=2)
+    for i in range(4):
+        tr.storage.save_checkpoint(
+            f"best_checkpoint_{i}", tr.state, tr.model_cfg, files=[]
+        )
+        tr.storage.prune_checkpoints()
+    kept = sorted(
+        d for d in os.listdir(tmp_path) if d.startswith("best_checkpoint")
+    )
+    assert kept == ["best_checkpoint_2", "best_checkpoint_3"]
+
+
+def test_early_stop_counts_and_direction(tmp_path):
+    tr = _tiny_trainer(tmp_path, early_stop_patience=2)
+    # cosine available -> lower is better
+    assert not tr._on_eval_end(mrr=0.5, cosine=0.5)
+    assert not tr._on_eval_end(mrr=0.5, cosine=0.6)  # worse
+    assert tr._on_eval_end(mrr=0.5, cosine=0.7)      # worse again -> stop
+    assert tr.training_should_stop
+
+    tr2 = _tiny_trainer(tmp_path, early_stop_patience=2)
+    # MRR fallback -> HIGHER is better (fixed direction, SURVEY quirk 2)
+    assert not tr2._on_eval_end(mrr=0.5, cosine=None)
+    assert not tr2._on_eval_end(mrr=0.6, cosine=None)  # improvement
+    assert tr2._no_improve_steps == 0
+
+    # patience=None disables early stopping (fixes reference quirk 3)
+    tr3 = _tiny_trainer(tmp_path, early_stop_patience=None)
+    for _ in range(5):
+        assert not tr3._on_eval_end(mrr=0.5, cosine=0.9)
+
+
+def test_cli_synthetic_smoke(tmp_path):
+    from relgat_projector_tpu import cli
+
+    cli.main([
+        "--synthetic", "--synthetic-nodes", "200", "--synthetic-edges", "1000",
+        "--synthetic-rels", "3", "--synthetic-dim", "16",
+        "--epochs", "1", "--batch-size", "64", "--gat-out-dim", "8",
+        "--heads", "2", "--num-neg", "3", "--project-to-input-size",
+        "--save-dir", str(tmp_path), "--log-every-n-steps", "1000",
+    ])
+    dirs = os.listdir(tmp_path)
+    assert any(d.startswith("relgat_scorer-distmult") for d in dirs)
