@@ -88,7 +88,9 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False):
     from relgat_projector_tpu.train.step import make_train_step
 
     src, dst, et, emb, bs, br, bd = _make_inputs(cfg_d)
-    graph = build_graph(src, dst, et, num_nodes=cfg_d["num_nodes"])
+    graph = build_graph(
+        src, dst, et, num_nodes=cfg_d["num_nodes"], blocked=use_pallas
+    )
     node_emb = jnp.asarray(pad_node_embeddings(emb, graph.num_nodes))
 
     mcfg = ModelConfig(
@@ -121,14 +123,17 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False):
         jnp.asarray(bs), jnp.asarray(br), jnp.asarray(bd),
         jnp.ones((cfg_d["batch_size"],), jnp.float32),
     )
+    # NOTE: synchronize with a host transfer (float()), not
+    # block_until_ready — the latter is a no-op on this image's experimental
+    # PJRT platform and yields fantasy timings.
     for _ in range(warmup):
         state, metrics = step_fn(state, node_emb, graph, *args)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, node_emb, graph, *args)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
     edge_messages = cfg_d["num_edges"] * cfg_d["gat_num_layers"] * steps
@@ -158,8 +163,9 @@ def bench_torch_reference(cfg_d, steps=3):
     def scatter_max(s, idx, dim_size):
         out = torch.full((dim_size,), float("-inf"), dtype=s.dtype)
         out = out.scatter_reduce(0, idx, s, reduce="amax", include_self=True)
-        out[out == float("-inf")] = 0.0
-        return out
+        # max is only gathered back per edge; detach + where keeps autograd
+        # happy (value parity with torch-scatter's 0-fill for empty segments)
+        return torch.where(torch.isinf(out), torch.zeros_like(out), out).detach()
 
     layers = []
     in_dim = cfg_d["emb_dim"]

@@ -1,0 +1,220 @@
+"""Block-padded edge layout for the Pallas TPU kernels.
+
+The scatter/gather-free TPU formulation: partition destination nodes into
+blocks of ``TD`` rows; each block's (dst-sorted, hence contiguous) edge run
+is padded to a multiple of the chunk size ``TE``. A kernel then walks chunks
+sequentially — every chunk belongs to exactly one dst block — and turns
+"scatter-add per destination" into ``onehot([TD, TE]) @ msgs([TE, F])``:
+a dense MXU matmul per (chunk, head). No dynamic scatter anywhere.
+
+Padding slots keep global dst-sortedness (they sit at the end of their
+block's run with ``dst = block_end - 1``) and are neutralized by ``mask``:
+masked edges get ``-inf`` attention logits, so their softmax weight — and
+therefore their aggregation contribution — is exactly zero, and their
+relation-bias term is masked out. This mirrors how the plain padded layout
+neutralizes its tail edges (``data/graph.py``), but works mid-array.
+
+A second, src-blocked layout of the same form drives the backward scatter
+(dL/dh accumulates per SOURCE node).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockedEdges:
+    """One block-padded edge ordering (by dst for fwd, by src for bwd)."""
+
+    src: jax.Array          # [E_bp] int32 gather index per slot
+    dst: jax.Array          # [E_bp] int32 (non-decreasing for dst-blocking)
+    etype: jax.Array        # [E_bp] int32
+    mask: jax.Array         # [E_bp] float32, 1.0 = real edge
+    local_seg: jax.Array    # [E_bp] int32, seg - block*TD in [0, TD)
+    chunk_block: jax.Array  # [C] int32 block id per chunk
+    slot_of_edge: jax.Array  # [E_canonical] int32: canonical edge -> slot
+    block_nonempty: jax.Array  # [num_blocks] float32: 1.0 if block has edges
+    # (kernel output blocks with no chunks are never written -> garbage;
+    # callers must zero rows of empty blocks via this mask)
+    chunk_meta: jax.Array   # [C, 8, TE] int32 — per-chunk edge metadata with
+    # a sublane-aligned shape for TPU BlockSpecs (last two dims (8, TE)):
+    # row 0 = etype, row 1 = local_seg, row 2 = mask (0/1), rows 3-7 unused
+    block_nodes: int = dataclasses.field(metadata={"static": True})
+    chunk_edges: int = dataclasses.field(metadata={"static": True})
+    num_blocks: int = dataclasses.field(metadata={"static": True})
+
+    @property
+    def num_slots(self) -> int:
+        return int(self.src.shape[0])
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.chunk_block.shape[0])
+
+
+def _build_one(
+    seg_key: np.ndarray,   # sort/partition key (dst for fwd, src for bwd)
+    src: np.ndarray,
+    dst: np.ndarray,
+    etype: np.ndarray,
+    num_nodes: int,
+    block_nodes: int,
+    chunk_edges: int,
+) -> BlockedEdges:
+    # Fast path: native C++ builder (native/graphbuild.cpp via ctypes).
+    if seg_key.shape[0] > 0:
+        from relgat_projector_tpu.data.native import native_blocked_arrays
+
+        arrs = native_blocked_arrays(
+            seg_key,
+            src.astype(np.int32),
+            dst.astype(np.int32),
+            etype.astype(np.int32),
+            num_nodes,
+            block_nodes,
+            chunk_edges,
+        )
+        if arrs is not None:
+            return BlockedEdges(
+                src=jnp.asarray(arrs["src"]),
+                dst=jnp.asarray(arrs["dst"]),
+                etype=jnp.asarray(arrs["etype"]),
+                mask=jnp.asarray(arrs["mask"]),
+                local_seg=jnp.asarray(arrs["local_seg"]),
+                chunk_block=jnp.asarray(arrs["chunk_block"]),
+                slot_of_edge=jnp.asarray(arrs["slot_of_edge"]),
+                block_nonempty=jnp.asarray(arrs["block_nonempty"]),
+                chunk_meta=jnp.asarray(arrs["chunk_meta"]),
+                block_nodes=int(block_nodes),
+                chunk_edges=int(chunk_edges),
+                num_blocks=-(-num_nodes // block_nodes),
+            )
+
+    e = seg_key.shape[0]
+    order = np.argsort(seg_key, kind="stable")
+    key_s = seg_key[order]
+    num_blocks = -(-num_nodes // block_nodes)
+
+    block_of_edge = key_s // block_nodes
+    counts = np.bincount(block_of_edge, minlength=num_blocks)
+    padded_counts = -(-counts // chunk_edges) * chunk_edges
+    # Blocks with zero edges get zero chunks (skipped entirely).
+    slots_total = int(padded_counts.sum())
+
+    out_slot_start = np.zeros(num_blocks + 1, dtype=np.int64)
+    np.cumsum(padded_counts, out=out_slot_start[1:])
+    in_start = np.zeros(num_blocks + 1, dtype=np.int64)
+    np.cumsum(counts, out=in_start[1:])
+
+    src_b = np.zeros(slots_total, np.int32)
+    dst_b = np.zeros(slots_total, np.int32)
+    et_b = np.zeros(slots_total, np.int32)
+    mask_b = np.zeros(slots_total, np.float32)
+    seg_b = np.zeros(slots_total, np.int64)
+    slot_of_sorted = np.zeros(e, np.int64)
+
+    src_s, dst_s, et_s = src[order], dst[order], etype[order]
+    for b in np.nonzero(counts)[0]:
+        i0, i1 = in_start[b], in_start[b + 1]
+        o0 = out_slot_start[b]
+        n = i1 - i0
+        src_b[o0 : o0 + n] = src_s[i0:i1]
+        dst_b[o0 : o0 + n] = dst_s[i0:i1]
+        et_b[o0 : o0 + n] = et_s[i0:i1]
+        mask_b[o0 : o0 + n] = 1.0
+        seg_b[o0 : o0 + n] = key_s[i0:i1]
+        slot_of_sorted[i0:i1] = np.arange(o0, o0 + n)
+        # Padding slots: keep the partition key inside the block and
+        # non-decreasing; masked so they contribute nothing.
+        pad_end = out_slot_start[b + 1]
+        if pad_end > o0 + n:
+            pad_key = key_s[i1 - 1]
+            seg_b[o0 + n : pad_end] = pad_key
+            # src/dst of padding slots point at a real node (block-local) so
+            # gathers stay in-bounds; mask kills their contribution.
+            src_b[o0 + n : pad_end] = src_s[i1 - 1]
+            dst_b[o0 + n : pad_end] = dst_s[i1 - 1]
+
+    chunk_block = np.repeat(
+        np.arange(num_blocks), (padded_counts // chunk_edges)
+    ).astype(np.int32)
+
+    slot_of_edge = np.zeros(e, np.int64)
+    slot_of_edge[order] = slot_of_sorted
+
+    local_seg = (seg_b - (seg_b // block_nodes) * block_nodes).astype(np.int32)
+
+    if slots_total == 0:  # degenerate empty graph
+        slots_total = chunk_edges
+        src_b = np.zeros(slots_total, np.int32)
+        dst_b = np.zeros(slots_total, np.int32)
+        et_b = np.zeros(slots_total, np.int32)
+        mask_b = np.zeros(slots_total, np.float32)
+        local_seg = np.zeros(slots_total, np.int32)
+        chunk_block = np.zeros(1, np.int32)
+
+    block_nonempty = (counts > 0).astype(np.float32)
+
+    num_chunks = max(1, slots_total // chunk_edges)
+    chunk_meta = np.zeros((num_chunks, 8, chunk_edges), np.int32)
+    chunk_meta[:, 0, :] = et_b.reshape(num_chunks, chunk_edges)
+    chunk_meta[:, 1, :] = local_seg.reshape(num_chunks, chunk_edges)
+    chunk_meta[:, 2, :] = mask_b.reshape(num_chunks, chunk_edges).astype(
+        np.int32
+    )
+
+    return BlockedEdges(
+        src=jnp.asarray(src_b),
+        dst=jnp.asarray(dst_b),
+        etype=jnp.asarray(et_b),
+        mask=jnp.asarray(mask_b),
+        local_seg=jnp.asarray(local_seg),
+        chunk_block=jnp.asarray(chunk_block),
+        slot_of_edge=jnp.asarray(slot_of_edge.astype(np.int32)),
+        block_nonempty=jnp.asarray(block_nonempty),
+        chunk_meta=jnp.asarray(chunk_meta),
+        block_nodes=int(block_nodes),
+        chunk_edges=int(chunk_edges),
+        num_blocks=int(num_blocks),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockedGraph:
+    """dst-blocked (forward aggregation) + src-blocked (backward scatter)."""
+
+    by_dst: BlockedEdges
+    by_src: BlockedEdges
+    num_nodes: int = dataclasses.field(metadata={"static": True})
+
+
+def build_blocked_graph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    etype: np.ndarray,
+    num_nodes: int,
+    *,
+    block_nodes: int = 256,
+    chunk_edges: int = 256,
+) -> BlockedGraph:
+    """``num_nodes`` must already be the padded node count; only REAL edges
+    should be passed (the blocked layouts make their own padding)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    etype = np.asarray(etype, np.int64)
+    return BlockedGraph(
+        by_dst=_build_one(
+            dst, src, dst, etype, num_nodes, block_nodes, chunk_edges
+        ),
+        by_src=_build_one(
+            src, src, dst, etype, num_nodes, block_nodes, chunk_edges
+        ),
+        num_nodes=int(num_nodes),
+    )

@@ -47,6 +47,7 @@ class RelGATData:
         seed: int = 42,
         edge_pad_multiple: int = 128,
         node_pad_multiple: int = 8,
+        blocked: bool = False,
     ):
         self.rel2idx = dict(rel2idx)
         self.num_rel = len(rel2idx)
@@ -99,6 +100,7 @@ class RelGATData:
             num_nodes=self.num_nodes,
             edge_pad_multiple=edge_pad_multiple,
             node_pad_multiple=node_pad_multiple,
+            blocked=blocked,
         )
         # Frozen embeddings padded to the graph's node count.
         self.node_emb = pad_node_embeddings(emb, self.graph.num_nodes)

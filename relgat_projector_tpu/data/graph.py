@@ -42,6 +42,9 @@ class GraphData:
     sorted_by_dst: bool = dataclasses.field(
         default=True, metadata={"static": True}
     )
+    # Optional block-padded layout for the Pallas kernel path
+    # (``data/blocked.py``); None on the plain XLA path.
+    blocked: object = None
 
     @property
     def num_edges_padded(self) -> int:
@@ -57,6 +60,9 @@ def build_graph(
     edge_pad_multiple: int = 128,
     node_pad_multiple: int = 8,
     sort_by_dst: bool = True,
+    blocked: bool = False,
+    block_nodes: int = 64,
+    chunk_edges: int = 256,
 ) -> GraphData:
     """Build a padded, dst-sorted :class:`GraphData` from host COO arrays.
 
@@ -84,6 +90,20 @@ def build_graph(
     dst_p = np.concatenate([dst, np.full(pad_n, pad_node, np.int32)])
     et_p = np.concatenate([etype, np.zeros(pad_n, np.int32)])
 
+    blocked_graph = None
+    if blocked:
+        from relgat_projector_tpu.data.blocked import build_blocked_graph
+
+        # Only REAL edges; the blocked layout makes its own masked padding.
+        blocked_graph = build_blocked_graph(
+            src[:num_real_edges] if num_real_edges else src[:0],
+            dst[:num_real_edges] if num_real_edges else dst[:0],
+            etype[:num_real_edges] if num_real_edges else etype[:0],
+            num_nodes=num_nodes_padded,
+            block_nodes=block_nodes,
+            chunk_edges=chunk_edges,
+        )
+
     return GraphData(
         src=jnp.asarray(src_p),
         dst=jnp.asarray(dst_p),
@@ -92,6 +112,7 @@ def build_graph(
         num_real_nodes=num_real_nodes,
         num_real_edges=num_real_edges,
         sorted_by_dst=sort_by_dst,
+        blocked=blocked_graph,
     )
 
 

@@ -98,6 +98,7 @@ def apply_relgat_layer(
         dropout_rng=attn_rng,
         edges_sorted_by_dst=graph.sorted_by_dst,
         use_pallas=use_pallas,
+        blocked=graph.blocked,
     )  # [N, H, F]
 
     out = agg.reshape(n, heads * out_dim)

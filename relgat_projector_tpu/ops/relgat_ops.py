@@ -44,25 +44,25 @@ def relgat_propagate(
     attn_dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     edges_sorted_by_dst: bool = False,
+    edge_mask: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    blocked=None,
 ) -> jax.Array:
     """Return aggregated messages ``[N, H, F]``.
 
-    Padded edges must point ``dst`` at a padded node row (>= the number of
-    real nodes) so they contribute nothing observable; static shapes
-    throughout (TPU requirement).
+    Padded edges must either point ``dst`` at a padded node row (>= the
+    number of real nodes) or carry ``edge_mask = 0`` (masked edges get
+    ``-inf`` logits, so zero softmax weight and zero contribution); static
+    shapes throughout (TPU requirement).
     """
-    if use_pallas:
+    if use_pallas and blocked is not None:
         from relgat_projector_tpu.ops.pallas import relgat_propagate_pallas
 
         return relgat_propagate_pallas(
             h,
             attn_bank,
             rel_bias,
-            src,
-            dst,
-            etype,
-            num_nodes=num_nodes,
+            blocked,
             negative_slope=negative_slope,
             eps=eps,
             attn_dropout_rate=attn_dropout_rate,
@@ -76,6 +76,8 @@ def relgat_propagate(
     # SDDMM-like per-edge attention logits (reference ``layer.py:227-234``).
     e = jnp.sum(proj_src * rel_att, axis=-1)               # [E, H]
     e = jax.nn.leaky_relu(e, negative_slope=negative_slope)
+    if edge_mask is not None:
+        e = jnp.where(edge_mask[:, None] > 0, e, -jnp.inf)
 
     alpha = segment_softmax(
         e,
@@ -99,6 +101,8 @@ def relgat_propagate(
     # broadcast over heads and features (``layer.py:313-318``).
     if rel_bias is not None:
         bias_e = jnp.take(rel_bias, etype)                 # [E]
+        if edge_mask is not None:
+            bias_e = bias_e * edge_mask
         bias_n = segment_sum(
             bias_e, dst, num_nodes, indices_are_sorted=edges_sorted_by_dst
         )                                                  # [N]

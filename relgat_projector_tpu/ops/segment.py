@@ -84,9 +84,11 @@ def segment_softmax(
     max_per_seg = segment_max(
         scores, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
     )
-    # Empty segments hold -inf; gathered values always come from non-empty
-    # segments, so no NaNs can propagate from the fill value.
-    shifted = scores - max_per_seg[segment_ids]
+    # Segments whose every score is -inf (all edges masked) would yield
+    # -inf - -inf = NaN; clamp the subtracted max to a finite value so
+    # exp(-inf - 0) = 0 instead.
+    max_safe = jnp.where(jnp.isfinite(max_per_seg), max_per_seg, 0.0)
+    shifted = scores - max_safe[segment_ids]
     w = jnp.exp(shifted)
     denom = segment_sum(
         w, segment_ids, num_segments, indices_are_sorted=indices_are_sorted

@@ -66,6 +66,7 @@ class RelGATTrainer:
             edge_index_raw,
             train_ratio=tc.train_ratio,
             seed=tc.seed,
+            blocked=run_config.model.use_pallas,
         )
 
         # Derive data-dependent model dims.

@@ -1,0 +1,144 @@
+"""Pallas kernel path (interpret mode on CPU): blocked layout invariants,
+forward parity vs the XLA baseline, gradient parity through the custom VJP,
+and the full model with ``use_pallas=True``."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relgat_projector_tpu.config import ModelConfig
+from relgat_projector_tpu.data.blocked import build_blocked_graph
+from relgat_projector_tpu.data.graph import build_graph, pad_node_embeddings
+from relgat_projector_tpu.models.model import init_model, single_gat_step
+from relgat_projector_tpu.ops.pallas import relgat_propagate_pallas
+from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
+
+
+def _random_case(n=150, e=900, r=7, heads=3, f=16, seed=0, td=16, te=64):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    et = rng.integers(0, r, e).astype(np.int32)
+    blocked = build_blocked_graph(
+        src, dst, et, num_nodes=n, block_nodes=td, chunk_edges=te
+    )
+    h = jnp.asarray(rng.standard_normal((n, heads, f)).astype(np.float32))
+    attn = jnp.asarray(
+        (rng.standard_normal((heads, r, f)) * 0.3).astype(np.float32)
+    )
+    bias = jnp.asarray((rng.standard_normal(r) * 0.1).astype(np.float32))
+    return src, dst, et, blocked, h, attn, bias, n
+
+
+def test_blocked_layout_invariants():
+    src, dst, et, bg, *_ = _random_case()
+    be = bg.by_dst
+    d = np.asarray(be.dst)
+    m = np.asarray(be.mask)
+    assert (np.diff(d) >= 0).all()  # global dst-sortedness incl. padding
+    assert be.num_slots % be.chunk_edges == 0
+    assert m.sum() == 900
+    # every chunk's edges belong to exactly its block
+    cb = np.asarray(be.chunk_block)
+    for c in range(be.num_chunks):
+        sl = slice(c * be.chunk_edges, (c + 1) * be.chunk_edges)
+        blocks = d[sl] // be.block_nodes
+        assert (blocks == cb[c]).all()
+    # real edges form the same multiset as the input
+    real = m > 0
+    got = sorted(zip(np.asarray(be.src)[real], d[real], np.asarray(be.etype)[real]))
+    want = sorted(zip(src, dst, et))
+    assert got == want
+    # local_seg consistent
+    np.testing.assert_array_equal(
+        np.asarray(be.local_seg), d - (d // be.block_nodes) * be.block_nodes
+    )
+    # src-blocked layout: sorted by src
+    s2 = np.asarray(bg.by_src.src)
+    assert (np.diff(s2) >= 0).all()
+
+
+def test_pallas_forward_matches_xla():
+    src, dst, et, bg, h, attn, bias, n = _random_case()
+    want = relgat_propagate(
+        h, attn, bias, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
+        num_nodes=n,
+    )
+    got = relgat_propagate_pallas(h, attn, bias, bg)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pallas_forward_no_bias_and_empty_blocks():
+    # All edges into the first 32 nodes -> most blocks empty (exercises the
+    # block_nonempty zeroing).
+    rng = np.random.default_rng(3)
+    n, e = 200, 400
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, 32, e).astype(np.int32)
+    et = rng.integers(0, 5, e).astype(np.int32)
+    bg = build_blocked_graph(src, dst, et, n, block_nodes=16, chunk_edges=32)
+    h = jnp.asarray(rng.standard_normal((n, 2, 8)).astype(np.float32))
+    attn = jnp.asarray((rng.standard_normal((2, 5, 8)) * 0.3).astype(np.float32))
+    want = relgat_propagate(
+        h, attn, None, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
+        num_nodes=n,
+    )
+    got = relgat_propagate_pallas(h, attn, None, bg)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got)[32:], 0.0)
+
+
+def test_pallas_gradients_match_xla():
+    src, dst, et, bg, h, attn, bias, n = _random_case(seed=5)
+
+    def loss_pallas(h_, a_, b_):
+        out = relgat_propagate_pallas(h_, a_, b_, bg)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(h_, a_, b_):
+        out = relgat_propagate(
+            h_, a_, b_, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
+            num_nodes=n,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(h, attn, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(h, attn, bias)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_model_with_use_pallas_matches_baseline():
+    rng = np.random.default_rng(7)
+    n, e, r, d = 120, 600, 5, 24
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    et = rng.integers(0, r, e)
+
+    g_plain = build_graph(src, dst, et, num_nodes=n)
+    g_blocked = build_graph(
+        src, dst, et, num_nodes=n, blocked=True, block_nodes=16,
+        chunk_edges=64,
+    )
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    x_plain = jnp.asarray(pad_node_embeddings(emb, g_plain.num_nodes))
+    x_blocked = jnp.asarray(pad_node_embeddings(emb, g_blocked.num_nodes))
+
+    cfg = ModelConfig(
+        in_dim=d, num_rel=r, gat_out_dim=8, gat_heads=2, gat_num_layers=2,
+        dropout=0.0, project_to_input_size=True, projection_layers=2,
+    )
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    want = single_gat_step(params, cfg, x_plain, g_plain)
+
+    cfg_p = ModelConfig(**{**cfg.to_dict(), "use_pallas": True})
+    got = single_gat_step(params, cfg_p, x_blocked, g_blocked)
+    np.testing.assert_allclose(
+        np.asarray(got)[:n], np.asarray(want)[:n], rtol=1e-4, atol=1e-5
+    )
