@@ -59,7 +59,8 @@ void blocked_phase2(const int64_t* keys, const int32_t* src,
                     const int64_t* padded, int32_t* src_b, int32_t* dst_b,
                     int32_t* et_b, float* mask_b, int32_t* local_b,
                     int32_t* chunk_block, int32_t* slot_of_edge,
-                    float* block_nonempty, int32_t* chunk_meta) {
+                    float* block_nonempty, int32_t* chunk_meta,
+                    int32_t* edge_of_slot) {
   const int64_t nb = (num_nodes + td - 1) / td;
   std::vector<int64_t> out_start(nb + 1, 0), in_start(nb + 1, 0);
   for (int64_t b = 0; b < nb; ++b) {
@@ -74,6 +75,7 @@ void blocked_phase2(const int64_t* keys, const int32_t* src,
   std::memset(et_b, 0, sizeof(int32_t) * slots_total);
   std::memset(mask_b, 0, sizeof(float) * slots_total);
   std::memset(local_b, 0, sizeof(int32_t) * slots_total);
+  std::memset(edge_of_slot, 0, sizeof(int32_t) * slots_total);
 
   std::vector<int64_t> seg_b(slots_total, 0);
   for (int64_t b = 0; b < nb; ++b) {
@@ -90,6 +92,7 @@ void blocked_phase2(const int64_t* keys, const int32_t* src,
       mask_b[slot] = 1.0f;
       seg_b[slot] = keys[eidx];
       slot_of_edge[eidx] = static_cast<int32_t>(slot);
+      edge_of_slot[slot] = static_cast<int32_t>(eidx);
     }
     // Padding slots: repeat the block's last edge, masked out.
     if (n > 0) {
@@ -98,6 +101,7 @@ void blocked_phase2(const int64_t* keys, const int32_t* src,
         src_b[slot] = src[last];
         dst_b[slot] = dst[last];
         seg_b[slot] = keys[last];
+        edge_of_slot[slot] = static_cast<int32_t>(last);
       }
     }
     for (int64_t slot = o0; slot < out_start[b + 1]; ++slot) {

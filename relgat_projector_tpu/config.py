@@ -83,6 +83,8 @@ class ModelConfig:
     param_dtype: str = "float32"   # parameter storage dtype
     compute_dtype: str = "float32" # activation dtype for matmuls
     use_pallas: bool = False       # fused Pallas segment kernels for the hot path
+    remat: bool = False            # jax.checkpoint each GAT layer (trade
+    # recompute for the all-N activation memory of full-graph backward)
 
     def __post_init__(self) -> None:
         if self.scorer_type.lower() not in ("distmult", "transe"):

@@ -45,6 +45,9 @@ class BlockedEdges:
     chunk_meta: jax.Array   # [C, 8, TE] int32 — per-chunk edge metadata with
     # a sublane-aligned shape for TPU BlockSpecs (last two dims (8, TE)):
     # row 0 = etype, row 1 = local_seg, row 2 = mask (0/1), rows 3-7 unused
+    edge_of_slot: jax.Array  # [E_bp] int32: canonical edge index per slot
+    # (padding slots repeat the block's last real edge; only meaningful
+    # where mask == 1)
     block_nodes: int = dataclasses.field(metadata={"static": True})
     chunk_edges: int = dataclasses.field(metadata={"static": True})
     num_blocks: int = dataclasses.field(metadata={"static": True})
@@ -91,6 +94,7 @@ def _build_one(
                 slot_of_edge=jnp.asarray(arrs["slot_of_edge"]),
                 block_nonempty=jnp.asarray(arrs["block_nonempty"]),
                 chunk_meta=jnp.asarray(arrs["chunk_meta"]),
+                edge_of_slot=jnp.asarray(arrs["edge_of_slot"]),
                 block_nodes=int(block_nodes),
                 chunk_edges=int(chunk_edges),
                 num_blocks=-(-num_nodes // block_nodes),
@@ -117,6 +121,7 @@ def _build_one(
     et_b = np.zeros(slots_total, np.int32)
     mask_b = np.zeros(slots_total, np.float32)
     seg_b = np.zeros(slots_total, np.int64)
+    edge_of_slot = np.zeros(slots_total, np.int64)
     slot_of_sorted = np.zeros(e, np.int64)
 
     src_s, dst_s, et_s = src[order], dst[order], etype[order]
@@ -129,6 +134,7 @@ def _build_one(
         et_b[o0 : o0 + n] = et_s[i0:i1]
         mask_b[o0 : o0 + n] = 1.0
         seg_b[o0 : o0 + n] = key_s[i0:i1]
+        edge_of_slot[o0 : o0 + n] = order[i0:i1]
         slot_of_sorted[i0:i1] = np.arange(o0, o0 + n)
         # Padding slots: keep the partition key inside the block and
         # non-decreasing; masked so they contribute nothing.
@@ -140,6 +146,7 @@ def _build_one(
             # gathers stay in-bounds; mask kills their contribution.
             src_b[o0 + n : pad_end] = src_s[i1 - 1]
             dst_b[o0 + n : pad_end] = dst_s[i1 - 1]
+            edge_of_slot[o0 + n : pad_end] = order[i1 - 1]
 
     chunk_block = np.repeat(
         np.arange(num_blocks), (padded_counts // chunk_edges)
@@ -157,6 +164,7 @@ def _build_one(
         et_b = np.zeros(slots_total, np.int32)
         mask_b = np.zeros(slots_total, np.float32)
         local_seg = np.zeros(slots_total, np.int32)
+        edge_of_slot = np.zeros(slots_total, np.int64)
         chunk_block = np.zeros(1, np.int32)
 
     block_nonempty = (counts > 0).astype(np.float32)
@@ -179,6 +187,7 @@ def _build_one(
         slot_of_edge=jnp.asarray(slot_of_edge.astype(np.int32)),
         block_nonempty=jnp.asarray(block_nonempty),
         chunk_meta=jnp.asarray(chunk_meta),
+        edge_of_slot=jnp.asarray(edge_of_slot.astype(np.int32)),
         block_nodes=int(block_nodes),
         chunk_edges=int(chunk_edges),
         num_blocks=int(num_blocks),
@@ -192,6 +201,10 @@ class BlockedGraph:
 
     by_dst: BlockedEdges
     by_src: BlockedEdges
+    # [E_bp_src] int32: for each src-blocked slot, the dst-blocked slot of
+    # the same canonical edge — permutes per-edge gradients from dst order
+    # into src order for the backward scatter.
+    dst_slot_of_src_slot: jax.Array
     num_nodes: int = dataclasses.field(metadata={"static": True})
 
 
@@ -209,12 +222,19 @@ def build_blocked_graph(
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     etype = np.asarray(etype, np.int64)
+    by_dst = _build_one(
+        dst, src, dst, etype, num_nodes, block_nodes, chunk_edges
+    )
+    by_src = _build_one(
+        src, src, dst, etype, num_nodes, block_nodes, chunk_edges
+    )
+    if src.shape[0] > 0:
+        perm = np.asarray(by_dst.slot_of_edge)[np.asarray(by_src.edge_of_slot)]
+    else:
+        perm = np.zeros(by_src.num_slots, np.int64)
     return BlockedGraph(
-        by_dst=_build_one(
-            dst, src, dst, etype, num_nodes, block_nodes, chunk_edges
-        ),
-        by_src=_build_one(
-            src, src, dst, etype, num_nodes, block_nodes, chunk_edges
-        ),
+        by_dst=by_dst,
+        by_src=by_src,
+        dst_slot_of_src_slot=jnp.asarray(perm.astype(np.int32)),
         num_nodes=int(num_nodes),
     )

@@ -104,6 +104,7 @@ def native_blocked_arrays(
     slot_of_edge = np.empty(e, np.int32)
     block_nonempty = np.empty(nb, np.float32)
     chunk_meta = np.empty((num_chunks, 8, te), np.int32)
+    edge_of_slot = np.empty(slots_total, np.int32)
 
     lib.blocked_phase2(
         _i64p(keys), _i32p(src), _i32p(dst), _i32p(etype),
@@ -112,10 +113,11 @@ def native_blocked_arrays(
         _i64p(order), _i64p(counts), _i64p(padded),
         _i32p(src_b), _i32p(dst_b), _i32p(et_b), _f32p(mask_b),
         _i32p(local_b), _i32p(chunk_block), _i32p(slot_of_edge),
-        _f32p(block_nonempty), _i32p(chunk_meta),
+        _f32p(block_nonempty), _i32p(chunk_meta), _i32p(edge_of_slot),
     )
     return dict(
         src=src_b, dst=dst_b, etype=et_b, mask=mask_b, local_seg=local_b,
         chunk_block=chunk_block, slot_of_edge=slot_of_edge,
         block_nonempty=block_nonempty, chunk_meta=chunk_meta,
+        edge_of_slot=edge_of_slot,
     )

@@ -104,19 +104,27 @@ def single_gat_step(
         else [None] * (num_layers + 1)
     )
 
-    x = node_emb
-    for li in range(num_layers):
-        x = apply_relgat_layer(
-            params["layers"][li],
-            x,
+    def layer_fn(layer_params, x_in, key):
+        return apply_relgat_layer(
+            layer_params,
+            x_in,
             graph,
             dropout_rate=cfg.dropout,
             attn_dropout_rate=cfg.rel_attn_dropout,
             train=train,
-            rng=keys[li],
+            rng=key,
             use_pallas=cfg.use_pallas,
             compute_dtype=compute_dtype,
         )
+
+    if cfg.remat:
+        # Full-graph backward keeps all-N activations per layer alive
+        # (SURVEY.md §7.3); remat trades recompute for that memory.
+        layer_fn = jax.checkpoint(layer_fn)
+
+    x = node_emb
+    for li in range(num_layers):
+        x = layer_fn(params["layers"][li], x, keys[li])
         # ELU between stacked layers only (reference ``model.py:56-73,284-287``).
         if num_layers > 1 and li < num_layers - 1:
             x = jax.nn.elu(x)

@@ -1,5 +1,8 @@
 from relgat_projector_tpu.ops.pallas.kernels import (  # noqa: F401
     relgat_propagate_pallas,
-    sddmm_scores,
-    blocked_aggregate,
+)
+from relgat_projector_tpu.ops.pallas.fused import (  # noqa: F401
+    fused_relgat_forward,
+    fused_relgat_backward,
+    blocked_scatter_sum,
 )

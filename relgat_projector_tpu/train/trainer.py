@@ -282,6 +282,19 @@ class RelGATTrainer:
         metrics = jax.device_get(metrics)
         step_time = time.time() - step_start
 
+        # Throughput over the flushed window (edge-messages/s; SURVEY §5.1).
+        now = time.time()
+        window = now - getattr(self, "_last_flush_time", now)
+        self._last_flush_time = now
+        edges_per_sec = (
+            self.graph.num_real_edges
+            * self.model_cfg.gat_num_layers
+            * len(pending)
+            / window
+            if window > 0
+            else 0.0
+        )
+
         avg_running_loss = running_loss / max(1, running_examples)
         log = {
             "epoch": epoch,
@@ -290,6 +303,7 @@ class RelGATTrainer:
             "train/grad_norm": float(metrics["grad_norm"]),
             "train/lr": float(metrics["lr"]),
             "train/step_time": step_time,
+            "train/edges_per_sec": edges_per_sec,
             "train/mrr": float(metrics["mrr"]),
             "train/pos_score_mean": float(metrics["pos_score_mean"]),
             "train/neg_score_mean": float(metrics["neg_score_mean"]),

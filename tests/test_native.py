@@ -32,7 +32,7 @@ def test_native_matches_numpy_blocked_layout(monkeypatch):
         a, b = getattr(native, layout), getattr(numpy_, layout)
         for field in (
             "src", "dst", "etype", "mask", "local_seg", "chunk_block",
-            "slot_of_edge", "block_nonempty", "chunk_meta",
+            "slot_of_edge", "block_nonempty", "chunk_meta", "edge_of_slot",
         ):
             np.testing.assert_array_equal(
                 np.asarray(getattr(a, field)),

@@ -114,6 +114,91 @@ def test_pallas_gradients_match_xla():
         )
 
 
+def test_pallas_grad_under_jit_with_traced_graph():
+    """The custom VJP must compose with jit when the blocked layout arrives
+    as a traced argument (the train step passes the graph as an input)."""
+    src, dst, et, bg, h, attn, bias, n = _random_case(seed=11)
+
+    @jax.jit
+    def loss(h_, a_, b_, bg_):
+        return jnp.sum(jnp.sin(relgat_propagate_pallas(h_, a_, b_, bg_)))
+
+    gp = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(h, attn, bias, bg)
+
+    def loss_xla(h_, a_, b_):
+        out = relgat_propagate(
+            h_, a_, b_, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
+            num_nodes=n,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(h, attn, bias)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_train_step_with_pallas_matches_xla_step():
+    """Full jitted train step with use_pallas == baseline step numerics."""
+    from relgat_projector_tpu.config import TrainConfig
+    from relgat_projector_tpu.data.graph import build_graph as _bg
+    from relgat_projector_tpu.schedules import make_lr_schedule
+    from relgat_projector_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+    from relgat_projector_tpu.train.step import make_train_step
+
+    rng = np.random.default_rng(13)
+    n, e, r, d = 100, 500, 4, 16
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    et = rng.integers(0, r, e)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+
+    cfg = ModelConfig(
+        in_dim=d, num_rel=r, gat_out_dim=8, gat_heads=2, gat_num_layers=2,
+        dropout=0.0, project_to_input_size=True, projection_layers=2,
+    )
+    cfg_p = ModelConfig(**{**cfg.to_dict(), "use_pallas": True})
+    tc = TrainConfig(
+        train_batch_size=32, num_neg=3, lr=1e-3, lr_scheduler="constant",
+        warmup_steps=0, eval_ks_ranks=(1, 2), use_self_adv_neg=True,
+    )
+    sched = make_lr_schedule(tc.lr, "constant", 100, 0)
+    opt = make_optimizer(tc, sched)
+
+    batch = (
+        jnp.asarray(rng.integers(0, n, 32), jnp.int32),
+        jnp.asarray(rng.integers(0, r, 32), jnp.int32),
+        jnp.asarray(rng.integers(0, n, 32), jnp.int32),
+        jnp.ones((32,), jnp.float32),
+    )
+
+    results = {}
+    for name, c, blocked in (("xla", cfg, False), ("pallas", cfg_p, True)):
+        g = _bg(src, dst, et, num_nodes=n, blocked=blocked, block_nodes=16,
+                chunk_edges=64)
+        x = jnp.asarray(pad_node_embeddings(emb, g.num_nodes))
+        params = init_model(jax.random.PRNGKey(0), c)
+        state = create_train_state(params, opt, jax.random.PRNGKey(1))
+        step = make_train_step(c, tc, opt, sched)
+        state, m = step(state, x, g, *batch)
+        results[name] = (jax.device_get(state.params), float(m["loss"]))
+
+    np.testing.assert_allclose(
+        results["xla"][1], results["pallas"][1], rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results["xla"][0]),
+        jax.tree_util.tree_leaves(results["pallas"][0]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
 def test_model_with_use_pallas_matches_baseline():
     rng = np.random.default_rng(7)
     n, e, r, d = 120, 600, 5, 24

@@ -180,6 +180,36 @@ def test_early_stop_counts_and_direction(tmp_path):
         assert not tr3._on_eval_end(mrr=0.5, cosine=0.9)
 
 
+def test_remat_matches_no_remat():
+    """jax.checkpoint layers: identical loss and grads, less live memory."""
+    import jax.numpy as jnp
+    from relgat_projector_tpu.data.graph import build_graph, pad_node_embeddings
+    from relgat_projector_tpu.models.model import init_model, single_gat_step
+
+    rng = np.random.default_rng(0)
+    n, e, r, d = 60, 300, 4, 16
+    graph = build_graph(
+        rng.integers(0, n, e), rng.integers(0, n, e), rng.integers(0, r, e),
+        num_nodes=n,
+    )
+    x = jnp.asarray(pad_node_embeddings(
+        rng.standard_normal((n, d)).astype(np.float32), graph.num_nodes))
+    cfg = ModelConfig(in_dim=d, num_rel=r, gat_out_dim=8, gat_heads=2,
+                      gat_num_layers=2, dropout=0.0,
+                      project_to_input_size=False)
+    cfg_r = ModelConfig(**{**cfg.to_dict(), "remat": True})
+    params = init_model(jax.random.PRNGKey(0), cfg)
+
+    def loss(p, c):
+        return jnp.sum(jnp.square(single_gat_step(p, c, x, graph)))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
 def test_cli_synthetic_smoke(tmp_path):
     from relgat_projector_tpu import cli
 
