@@ -240,7 +240,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--no-pallas", dest="use_pallas", action="store_false",
+                    help="Use the XLA baseline path instead of the fused "
+                         "Pallas kernels")
+    ap.set_defaults(use_pallas=True)
     ap.add_argument("--measure-torch-baseline", action="store_true")
     args = ap.parse_args()
 

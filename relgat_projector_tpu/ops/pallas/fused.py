@@ -1,23 +1,34 @@
-"""v2 fully-fused RelGAT forward kernel.
+"""Fused RelGAT Pallas kernels (v4).
 
-One sequential pass over the block-padded edge stream. Per chunk of TE edges
-(all belonging to one destination block of TD nodes):
+One sequential pass over the block-padded edge stream (``data/blocked.py``).
+Per chunk of TE edges (all in one destination block of TD nodes):
 
-  1. SDDMM: relation-attention rows via one-hot ``[TE,R] @ [R,F]`` MXU
-     matmul, per-edge logits, masked LeakyReLU;
+  1. SDDMM: one all-heads relation-attention gather via a single one-hot
+     ``[TE, R] @ [R, H*F]`` MXU matmul, per-edge logits, masked LeakyReLU;
   2. online segment softmax (flash-attention-style): running per-(dst,head)
-     max ``m`` and denominator ``l`` live in VMEM scratch, rescaled as new
-     chunks arrive — softmax statistics never touch HBM;
-  3. aggregation: ``(onehot * p) [TD,TE] @ ps [TE,F]`` per head into a VMEM
-     accumulator, normalized and written once per block;
+     max ``m`` and denominator ``l`` in VMEM scratch, rescaled per chunk —
+     softmax statistics never touch HBM;
+  3. aggregation: ``(onehot * p) [TD, TE] @ ps_h [TE, F]`` per head into a
+     head-major VMEM accumulator, normalized and written once per block;
   4. per-relation scalar bias accumulated the same way.
 
-Numerics match the reference exactly (true per-dst max subtraction, denom
-clamped at 1e-16 — ``layer.py:280-293``): online rescaling is algebraically
-identical to the two-pass softmax.
+Layout rules learned on hardware (see git history):
+- per-edge features stream as 2D ``[TE, H*F]`` blocks (a 3D ``[TE, H, F]``
+  block pads H->8 sublanes and F->128 lanes, wasting up to 4x VMEM/VPU),
+- per-head work uses static lane slices of the 2D block,
+- hot intermediates keep TE or F in the lane dimension,
+- no 1-D writes into >=2-D refs on the lane axis (Mosaic miscompiles);
+  stats/dbias are written as full-block stores,
+- per-edge gathers of per-dst scalars go through the MXU
+  (``[1, TD] @ [TD, TE]``), not sublane reductions.
 
-Replaces: the v1 sddmm+stats+aggregate pipeline, whose XLA segment stats and
-extra passes dominated runtime.
+Numerics match the reference exactly (true per-dst max, denominator clamp
+1e-16 — ``layer.py:280-293``); online rescaling is algebraically identical
+to the two-pass softmax. All matmuls run at HIGHEST (fp32) precision.
+
+The backward recomputes the SDDMM from the saved ``(m, l)`` statistics and
+uses the identity ``sum_e alpha_e * dalpha_e = <out_d - bias_d, g_d>`` so
+the softmax backward is block-local.
 """
 
 from __future__ import annotations
@@ -39,21 +50,32 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _mxu_rowgather(vals_td: jax.Array, onehot_d: jax.Array) -> jax.Array:
+    """Per-edge gather of a per-dst vector: ``[TD] -> [TE]`` via
+    ``[1, TD] @ [TD, TE]`` on the MXU (sublane reductions are slow)."""
+    out = jnp.dot(
+        vals_td[None, :], onehot_d, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0]
+
+
 def _fused_kernel(
     cb_ref,      # [C] int32 scalar prefetch: block id per chunk
-    ps_ref,      # [TE, H, F]
+    ps_ref,      # [TE, H*F]
     meta_ref,    # [1, 8, TE] int32 (0=etype, 1=local_dst, 2=mask)
-    attn_ref,    # [H, R, F]
+    attn_ref,    # [R, H*F]  (head-flattened relation-attention bank)
     bias_ref,    # [R, 128] f32 (column 0 holds rel_bias; zeros if disabled)
     seed_ref,    # [1, 1] int32 (attention-dropout seed)
-    out_ref,     # [TD, H, F]
+    out_ref,     # [TD, H*F]
     stats_ref,   # [TD, 8, H] (row 0 = m, row 1 = l, row 2 = bias)
-    m_s,         # scratch [H, TD] running max
-    l_s,         # scratch [H, TD] running denominator
-    acc_s,       # scratch [TD, H, F] running weighted sum
-    b_s,         # scratch [8, TD] bias accumulator (row 0)
+    m_s,         # scratch [H, TD]
+    l_s,         # scratch [H, TD]
+    acc_s,       # scratch [H, TD, F]
+    b_s,         # scratch [8, TD] (row 0)
     *,
     heads: int,
+    feat: int,
     num_rel: int,
     block_nodes: int,
     negative_slope: float,
@@ -69,6 +91,7 @@ def _fused_kernel(
     mask_i = meta_ref[0, 2, :]
     te = et.shape[0]
     td = block_nodes
+    f = feat
     maskf = (mask_i > 0).astype(jnp.float32)             # [TE]
     hi = jax.lax.Precision.HIGHEST
 
@@ -76,10 +99,6 @@ def _fused_kernel(
     onehot_r = (et[:, None] == rel_ids).astype(jnp.float32)   # [TE, R]
     rows = jax.lax.broadcasted_iota(jnp.int32, (td, te), 0)
     onehot_d = (rows == ld[None, :]).astype(jnp.float32)      # [TD, TE]
-
-    # All hot intermediates stay 2D with TE or F (>= 128) in the lane dim;
-    # per-head Python loop (H is small). A stacked [.., H] layout pads H up
-    # to 128 lanes and wastes ~32x VPU throughput.
 
     @pl.when(is_first)
     def _():
@@ -91,17 +110,22 @@ def _fused_kernel(
     if attn_dropout_rate > 0.0:
         pltpu.prng_seed(seed_ref[0, 0] + c)
 
+    # One all-heads relation-attention gather: [TE, R] @ [R, H*F].
+    rel_att_all = jnp.dot(
+        onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
+        precision=hi,
+    )                                                     # [TE, H*F]
+
+    out_cols = []
+    m_rows, l_rows = [], []
     for h in range(heads):
-        # ---- SDDMM + masked LeakyReLU -> e_h [TE] -----------------------
-        rel_att = jnp.dot(
-            onehot_r, attn_ref[h], preferred_element_type=jnp.float32,
-            precision=hi,
-        )                                                 # [TE, F]
-        eraw = jnp.sum(ps_ref[:, h, :] * rel_att, axis=1)  # [TE]
+        sl = slice(h * f, (h + 1) * f)
+        ps_h = ps_ref[:, sl]                              # [TE, F]
+
+        eraw = jnp.sum(ps_h * rel_att_all[:, sl], axis=1)  # [TE]
         e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
         e_h = jnp.where(maskf > 0, e_h, _NEG)
 
-        # ---- online softmax (per head, [TD] / [TD, TE] shapes) ----------
         m_prev = m_s[h]                                   # [TD]
         m_c = jnp.max(
             jnp.where(onehot_d > 0, e_h[None, :], _NEG), axis=1
@@ -114,11 +138,13 @@ def _fused_kernel(
             m_prev <= _NEG * 0.5, 0.0, jnp.exp(m_prev - m_safe)
         )                                                 # [TD]
 
-        m_e = jnp.sum(onehot_d * m_safe[:, None], axis=0)  # [TE] gather
+        m_e = _mxu_rowgather(m_safe, onehot_d)            # [TE]
         p = jnp.exp(e_h - m_e) * maskf                    # [TE]
         l_new = l_s[h] * scale + jnp.sum(onehot_d * p[None, :], axis=1)
         m_s[h] = m_new
         l_s[h] = l_new
+        m_rows.append(m_new)
+        l_rows.append(l_new)
 
         # attention-weight dropout (reference ``layer.py:296-297``):
         # applied to normalized weights -> to p in the numerator only.
@@ -133,11 +159,9 @@ def _fused_kernel(
 
         w = onehot_d * p_acc[None, :]                     # [TD, TE]
         partial = jnp.dot(
-            w, ps_ref[:, h, :], preferred_element_type=jnp.float32,
-            precision=hi,
+            w, ps_h, preferred_element_type=jnp.float32, precision=hi,
         )                                                 # [TD, F]
-        acc_h = acc_s[:, h, :] * scale[:, None] + partial
-        acc_s[:, h, :] = acc_h
+        acc_s[h] = acc_s[h] * scale[:, None] + partial
 
     # ---- relation bias ---------------------------------------------------
     bias_e = jnp.sum(onehot_r * bias_ref[:, 0][None, :], axis=1)  # [TE]
@@ -148,15 +172,16 @@ def _fused_kernel(
 
     # ---- write normalized output (final chunk of the block wins) --------
     for h in range(heads):
-        denom_h = jnp.maximum(l_s[h], eps)                # [TD]
-        out_ref[:, h, :] = (
-            acc_s[:, h, :] / denom_h[:, None] + b_new[:, None]
+        denom_h = jnp.maximum(l_rows[h], eps)             # [TD]
+        out_cols.append(
+            acc_s[h] / denom_h[:, None] + b_new[:, None]  # [TD, F]
         )
+    out_ref[:] = jnp.concatenate(out_cols, axis=1)        # [TD, H*F]
 
-    # Stats written as one full-block 3D store (Mosaic rejects 1-D writes
-    # into 3-D refs); transposes are tiny [H, TD] arrays.
-    m_t = m_s[:].T                                        # [TD, H]
-    l_t = l_s[:].T
+    # Stats as one full-block 3D store (Mosaic rejects 1-D writes into 3-D
+    # refs); tiny [TD, H] stacks.
+    m_t = jnp.stack(m_rows, axis=1)                       # [TD, H]
+    l_t = jnp.stack(l_rows, axis=1)
     b_t = jnp.broadcast_to(b_new[:, None], (td, heads))
     zeros = jnp.zeros((td, heads), jnp.float32)
     stats_ref[:] = jnp.stack(
@@ -165,7 +190,7 @@ def _fused_kernel(
 
 
 def fused_relgat_forward(
-    ps: jax.Array,          # [E_bp, H, F] gathered source features
+    ps: jax.Array,          # [E_bp, H*F] gathered source features (2D!)
     be: BlockedEdges,
     attn: jax.Array,        # [H, R, F]
     rel_bias: Optional[jax.Array],  # [R] or None
@@ -175,17 +200,20 @@ def fused_relgat_forward(
     attn_dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,  # int32 scalar
     with_stats: bool = False,
-) -> jax.Array:
-    """Returns ``[num_blocks * TD, H, F]`` aggregated+normalized messages
+):
+    """Returns ``[num_blocks * TD, H*F]`` aggregated+normalized messages
     (+bias); with ``with_stats`` also ``[NB*TD, 8, H]`` softmax statistics
-    (row 0 = per-dst max m, row 1 = denominator l, row 2 = bias sum b —
-    residuals for the flash-style backward). Rows of edge-less blocks are
+    (m, l, bias — residuals for the backward). Rows of edge-less blocks are
     unwritten garbage — mask with ``be.block_nonempty``."""
-    e_bp, heads, f = ps.shape
+    heads, num_rel, f = attn.shape
+    e_bp, hf = ps.shape
+    assert hf == heads * f
     te = be.chunk_edges
     td = be.block_nodes
     c = be.num_chunks
-    num_rel = attn.shape[1]
+
+    # Head-flattened bank: [R, H*F] with per-head contiguous lane ranges.
+    attn_flat = jnp.transpose(attn, (1, 0, 2)).reshape(num_rel, heads * f)
 
     bias128 = jnp.zeros((num_rel, 128), jnp.float32)
     if rel_bias is not None:
@@ -200,6 +228,7 @@ def fused_relgat_forward(
     kernel = functools.partial(
         _fused_kernel,
         heads=heads,
+        feat=f,
         num_rel=num_rel,
         block_nodes=td,
         negative_slope=negative_slope,
@@ -210,30 +239,26 @@ def fused_relgat_forward(
         num_scalar_prefetch=1,
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((te, heads, f), lambda i, cb: (i, 0, 0),
+            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, te), lambda i, cb: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, num_rel, f), lambda i, cb: (0, 0, 0),
+            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_rel, 128), lambda i, cb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec(
-                (td, heads, f), lambda i, cb: (cb[i], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (td, 8, heads), lambda i, cb: (cb[i], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((td, 8, heads), lambda i, cb: (cb[i], 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((heads, td), jnp.float32),
             pltpu.VMEM((heads, td), jnp.float32),
-            pltpu.VMEM((td, heads, f), jnp.float32),
+            pltpu.VMEM((heads, td, f), jnp.float32),
             pltpu.VMEM((8, td), jnp.float32),
         ],
     )
@@ -241,11 +266,11 @@ def fused_relgat_forward(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((be.num_blocks * td, heads, f), jnp.float32),
+            jax.ShapeDtypeStruct((be.num_blocks * td, hf), jnp.float32),
             jax.ShapeDtypeStruct((be.num_blocks * td, 8, heads), jnp.float32),
         ),
         interpret=_interpret(),
-    )(be.chunk_block, ps, be.chunk_meta, attn, bias128, seed)
+    )(be.chunk_block, ps, be.chunk_meta, attn_flat, bias128, seed)
     if with_stats:
         return out, stats
     return out
@@ -257,17 +282,18 @@ def fused_relgat_forward(
 
 def _bwd_kernel(
     cb_ref,      # [C] int32 scalar prefetch
-    ps_ref,      # [TE, H, F]
-    g_ref,       # [TD, H, F]   upstream gradient rows of this block
-    out_ref_in,  # [TD, H, F]   forward output rows of this block
-    stats_ref,   # [TD, 8, H]   (m, l, bias)
+    ps_ref,      # [TE, H*F]
+    g_ref,       # [TD, H*F]   upstream gradient rows of this block
+    out_ref_in,  # [TD, H*F]   forward output rows of this block
+    stats_ref,   # [TD, 8, H]  (m, l, bias)
     meta_ref,    # [1, 8, TE]
-    attn_ref,    # [H, R, F]
-    dps_ref,     # [TE, H, F]  (out, streamed per chunk)
-    dattn_ref,   # [H, R, F]   (out, accumulated across the whole grid)
-    dbias_ref,   # [R, 128]    (out, accumulated; column 0)
+    attn_ref,    # [R, H*F]
+    dps_ref,     # [TE, H*F]  (out, streamed per chunk)
+    dattn_ref,   # [R, H*F]   (out, accumulated across the whole grid)
+    dbias_ref,   # [R, 128]   (out, accumulated; column 0)
     *,
     heads: int,
+    feat: int,
     num_rel: int,
     block_nodes: int,
     negative_slope: float,
@@ -280,6 +306,7 @@ def _bwd_kernel(
     mask_i = meta_ref[0, 2, :]
     te = et.shape[0]
     td = block_nodes
+    f = feat
     maskf = (mask_i > 0).astype(jnp.float32)
     hi = jax.lax.Precision.HIGHEST
 
@@ -295,71 +322,82 @@ def _bwd_kernel(
         dattn_ref[:] = jnp.zeros_like(dattn_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-    # Per-head 2D math, TE/F in lanes (see forward-kernel layout note).
+    rel_att_all = jnp.dot(
+        onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
+        precision=hi,
+    )                                                     # [TE, H*F]
+
+    dps_cols = []
+    dattn_contrib = []
     gsum = jnp.zeros((td,), jnp.float32)
     for h in range(heads):
-        m_h = stats_ref[:, 0, h]                              # [TD]
-        l_h = jnp.maximum(stats_ref[:, 1, h], eps)            # [TD]
+        sl = slice(h * f, (h + 1) * f)
+        ps_h = ps_ref[:, sl]                              # [TE, F]
+        g_h = g_ref[:, sl]                                # [TD, F]
+        rel_att = rel_att_all[:, sl]                      # [TE, F]
+
+        m_h = stats_ref[:, 0, h]                          # [TD]
+        l_h = jnp.maximum(stats_ref[:, 1, h], eps)        # [TD]
         m_safe = jnp.where(m_h <= _NEG * 0.5, 0.0, m_h)
 
-        # Recompute SDDMM
-        rel_att = jnp.dot(onehot_r, attn_ref[h],
-                          preferred_element_type=jnp.float32, precision=hi)
-        eraw = jnp.sum(ps_ref[:, h, :] * rel_att, axis=1)     # [TE]
+        eraw = jnp.sum(ps_h * rel_att, axis=1)            # [TE]
         e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
         e_h = jnp.where(maskf > 0, e_h, _NEG)
 
-        m_e = jnp.sum(onehot_d * m_safe[:, None], axis=0)     # [TE]
-        l_e = jnp.sum(onehot_d * l_h[:, None], axis=0)        # [TE]
-        alpha = jnp.exp(e_h - m_e) / l_e * maskf              # [TE]
+        m_e = _mxu_rowgather(m_safe, onehot_d)            # [TE]
+        l_e = _mxu_rowgather(l_h, onehot_d)               # [TE]
+        alpha = jnp.exp(e_h - m_e) / l_e * maskf          # [TE]
 
-        # dalpha and the softmax-backward sum S = <out - bias, g> per dst
-        g_e = jnp.dot(onehot_d.T, g_ref[:, h, :],
+        g_e = jnp.dot(onehot_d.T, g_h,
                       preferred_element_type=jnp.float32, precision=hi)
-        dalpha = jnp.sum(ps_ref[:, h, :] * g_e, axis=1)       # [TE]
-        agg_norm = out_ref_in[:, h, :] - bias_col             # [TD, F]
-        s_h = jnp.sum(agg_norm * g_ref[:, h, :], axis=1)      # [TD]
-        s_e = jnp.sum(onehot_d * s_h[:, None], axis=0)        # [TE]
+        dalpha = jnp.sum(ps_h * g_e, axis=1)              # [TE]
+        agg_norm = out_ref_in[:, sl] - bias_col           # [TD, F]
+        s_h = jnp.sum(agg_norm * g_h, axis=1)             # [TD]
+        s_e = _mxu_rowgather(s_h, onehot_d)               # [TE]
 
         de = alpha * (dalpha - s_e)
-        de = de * jnp.where(eraw >= 0, 1.0, negative_slope)   # LeakyReLU
+        de = de * jnp.where(eraw >= 0, 1.0, negative_slope)
 
-        dps_ref[:, h, :] = alpha[:, None] * g_e + de[:, None] * rel_att
-        dattn_ref[h] += jnp.dot(
-            onehot_r.T, de[:, None] * ps_ref[:, h, :],
-            preferred_element_type=jnp.float32, precision=hi,
-        )
-        gsum = gsum + jnp.sum(g_ref[:, h, :], axis=1)
+        dps_cols.append(alpha[:, None] * g_e + de[:, None] * rel_att)
+        dattn_contrib.append(
+            jnp.dot(onehot_r.T, de[:, None] * ps_h,
+                    preferred_element_type=jnp.float32, precision=hi)
+        )                                                 # [R, F]
+        gsum = gsum + jnp.sum(g_h, axis=1)
 
-    gs_e = jnp.sum(onehot_d * gsum[:, None], axis=0)          # [TE]
+    dps_ref[:] = jnp.concatenate(dps_cols, axis=1)        # [TE, H*F]
+    dattn_ref[:] += jnp.concatenate(dattn_contrib, axis=1)  # [R, H*F]
+
+    gs_e = _mxu_rowgather(gsum, onehot_d)                 # [TE]
     contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)  # [R]
-    # Full-ref masked accumulate: lane-column writes (dbias_ref[:, 0] +=)
-    # miscompile on Mosaic, so spread the contribution onto column 0 only.
     lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
     dbias_ref[:] += jnp.where(lane == 0, contrib[:, None], 0.0)
 
 
 def fused_relgat_backward(
-    ps: jax.Array,       # [E_bp, H, F]
-    g_blocks: jax.Array,  # [NB*TD, H, F] upstream grad (padded to blocks)
-    out_blocks: jax.Array,  # [NB*TD, H, F] forward output (padded)
-    stats: jax.Array,    # [NB*TD, 8, H]
+    ps: jax.Array,        # [E_bp, H*F]
+    g_blocks: jax.Array,  # [NB*TD, H*F] upstream grad (padded to blocks)
+    out_blocks: jax.Array,  # [NB*TD, H*F] forward output (padded)
+    stats: jax.Array,     # [NB*TD, 8, H]
     be: BlockedEdges,
-    attn: jax.Array,     # [H, R, F]
+    attn: jax.Array,      # [H, R, F]
     *,
     negative_slope: float = 0.2,
     eps: float = 1e-16,
 ):
-    """Returns ``(dps [E_bp,H,F], dattn [H,R,F], dbias [R])``."""
-    e_bp, heads, f = ps.shape
+    """Returns ``(dps [E_bp, H*F], dattn [H, R, F], dbias [R])``."""
+    heads, num_rel, f = attn.shape
+    e_bp, hf = ps.shape
     te = be.chunk_edges
     td = be.block_nodes
     c = be.num_chunks
-    num_rel = attn.shape[1]
+
+    attn_flat = jnp.transpose(attn, (1, 0, 2)).reshape(num_rel, hf)
 
     kernel = functools.partial(
         _bwd_kernel,
         heads=heads,
+        feat=f,
         num_rel=num_rel,
         block_nodes=td,
         negative_slope=negative_slope,
@@ -369,38 +407,40 @@ def fused_relgat_backward(
         num_scalar_prefetch=1,
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((te, heads, f), lambda i, cb: (i, 0, 0),
+            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td, heads, f), lambda i, cb: (cb[i], 0, 0),
+            pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td, heads, f), lambda i, cb: (cb[i], 0, 0),
+            pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((td, 8, heads), lambda i, cb: (cb[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, te), lambda i, cb: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, num_rel, f), lambda i, cb: (0, 0, 0),
+            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((te, heads, f), lambda i, cb: (i, 0, 0),
+            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, num_rel, f), lambda i, cb: (0, 0, 0),
+            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_rel, 128), lambda i, cb: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
-    dps, dattn, dbias = pl.pallas_call(
+    dps, dattn_flat, dbias = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((e_bp, heads, f), jnp.float32),
-            jax.ShapeDtypeStruct((heads, num_rel, f), jnp.float32),
+            jax.ShapeDtypeStruct((e_bp, hf), jnp.float32),
+            jax.ShapeDtypeStruct((num_rel, hf), jnp.float32),
             jax.ShapeDtypeStruct((num_rel, 128), jnp.float32),
         ),
         interpret=_interpret(),
-    )(be.chunk_block, ps, g_blocks, out_blocks, stats, be.chunk_meta, attn)
+    )(be.chunk_block, ps, g_blocks, out_blocks, stats, be.chunk_meta,
+      attn_flat)
+    dattn = jnp.transpose(dattn_flat.reshape(num_rel, heads, f), (1, 0, 2))
     return dps, dattn, dbias[:, 0]
 
 
@@ -409,7 +449,7 @@ def fused_relgat_backward(
 # ---------------------------------------------------------------------------
 
 def _scatter_kernel(
-    cb_ref, vals_ref, meta_ref, out_ref, *, heads: int, block_nodes: int
+    cb_ref, vals_ref, meta_ref, out_ref, *, block_nodes: int
 ):
     c = pl.program_id(0)
     prev = cb_ref[jnp.maximum(c - 1, 0)]
@@ -422,44 +462,42 @@ def _scatter_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_nodes, te), 0)
     onehot = (rows == ld[None, :]).astype(jnp.float32) * maskf[None, :]
 
-    for h in range(heads):
-        partial = jnp.dot(
-            onehot, vals_ref[:, h, :], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    partial = jnp.dot(
+        onehot, vals_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # [TD, H*F]
 
-        @pl.when(is_first)
-        def _():
-            out_ref[:, h, :] = partial
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = partial
 
-        @pl.when(jnp.logical_not(is_first))
-        def _():
-            out_ref[:, h, :] += partial
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] += partial
 
 
 def blocked_scatter_sum(values: jax.Array, be: BlockedEdges) -> jax.Array:
     """``out[n] = sum over real slots with local segment n of values`` over
-    the given blocked layout (src-blocked for dL/dh). Returns
-    ``[NB*TD, H, F]`` (empty blocks garbage — mask with block_nonempty)."""
-    e_bp, heads, f = values.shape
+    the given blocked layout (src-blocked for dL/dh). ``values`` is
+    ``[E_bp, H*F]``; returns ``[NB*TD, H*F]`` (empty blocks garbage — mask
+    with block_nonempty)."""
+    e_bp, hf = values.shape
     te = be.chunk_edges
     td = be.block_nodes
     c = be.num_chunks
 
-    kernel = functools.partial(
-        _scatter_kernel, heads=heads, block_nodes=td
-    )
+    kernel = functools.partial(_scatter_kernel, block_nodes=td)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((te, heads, f), lambda i, cb: (i, 0, 0),
+            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, te), lambda i, cb: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (td, heads, f), lambda i, cb: (cb[i], 0, 0),
+            (td, hf), lambda i, cb: (cb[i], 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -467,7 +505,7 @@ def blocked_scatter_sum(values: jax.Array, be: BlockedEdges) -> jax.Array:
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (be.num_blocks * td, heads, f), jnp.float32
+            (be.num_blocks * td, hf), jnp.float32
         ),
         interpret=_interpret(),
     )(be.chunk_block, values, be.chunk_meta)
