@@ -120,6 +120,11 @@ def get_args(argv=None) -> argparse.Namespace:
                    default="adam")
     p.add_argument("--compute-dtype", dest="compute_dtype", type=str,
                    choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--kernel-precision", dest="kernel_precision", type=str,
+                   choices=["highest", "high", "default"], default="highest",
+                   help="MXU precision inside the Pallas kernels")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each GAT layer (memory for compute)")
 
     return p.parse_args(argv)
 
@@ -161,6 +166,8 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         projection_hidden_dim=args.projection_hidden_dim,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
+        kernel_precision=args.kernel_precision,
+        remat=args.remat,
     )
     train = TrainConfig(
         epochs=args.epochs,

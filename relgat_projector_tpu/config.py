@@ -85,6 +85,8 @@ class ModelConfig:
     use_pallas: bool = False       # fused Pallas segment kernels for the hot path
     remat: bool = False            # jax.checkpoint each GAT layer (trade
     # recompute for the all-N activation memory of full-graph backward)
+    kernel_precision: str = "highest"  # Pallas MXU passes: "highest"
+    # (fp32-exact, reference parity) | "high" (bf16x3) | "default" (bf16)
 
     def __post_init__(self) -> None:
         if self.scorer_type.lower() not in ("distmult", "transe"):

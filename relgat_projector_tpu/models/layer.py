@@ -68,6 +68,7 @@ def apply_relgat_layer(
     rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
     compute_dtype=jnp.float32,
+    kernel_precision: str = "highest",
 ) -> jax.Array:
     """One message-passing step; returns ``[N, heads * out_dim]``."""
     heads = params["proj"].shape[0]
@@ -99,6 +100,7 @@ def apply_relgat_layer(
         edges_sorted_by_dst=graph.sorted_by_dst,
         use_pallas=use_pallas,
         blocked=graph.blocked,
+        kernel_precision=kernel_precision,
     )  # [N, H, F]
 
     out = agg.reshape(n, heads * out_dim)

@@ -115,6 +115,7 @@ def single_gat_step(
             rng=key,
             use_pallas=cfg.use_pallas,
             compute_dtype=compute_dtype,
+            kernel_precision=cfg.kernel_precision,
         )
 
     if cfg.remat:

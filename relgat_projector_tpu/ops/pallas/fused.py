@@ -50,9 +50,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _mxu_rowgather(vals_td: jax.Array, onehot_d: jax.Array) -> jax.Array:
-    """Per-edge gather of a per-dst vector: ``[TD] -> [TE]`` via
-    ``[1, TD] @ [TD, TE]`` on the MXU (sublane reductions are slow)."""
+def _rowgather(vals_td: jax.Array, onehot_d: jax.Array) -> jax.Array:
+    """Per-edge gather of a per-dst vector ``[TD] -> [TE]`` via a
+    ``[1, TD] @ [TD, TE]`` MXU matmul (measured faster than both sublane
+    reductions and transposed-one-hot lane reductions)."""
     out = jnp.dot(
         vals_td[None, :], onehot_d, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -81,6 +82,7 @@ def _fused_kernel(
     negative_slope: float,
     eps: float,
     attn_dropout_rate: float,
+    precision,
 ):
     c = pl.program_id(0)
     prev = cb_ref[jnp.maximum(c - 1, 0)]
@@ -93,7 +95,7 @@ def _fused_kernel(
     td = block_nodes
     f = feat
     maskf = (mask_i > 0).astype(jnp.float32)             # [TE]
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
 
     rel_ids = jax.lax.broadcasted_iota(jnp.int32, (te, num_rel), 1)
     onehot_r = (et[:, None] == rel_ids).astype(jnp.float32)   # [TE, R]
@@ -138,7 +140,7 @@ def _fused_kernel(
             m_prev <= _NEG * 0.5, 0.0, jnp.exp(m_prev - m_safe)
         )                                                 # [TD]
 
-        m_e = _mxu_rowgather(m_safe, onehot_d)            # [TE]
+        m_e = _rowgather(m_safe, onehot_d)            # [TE]
         p = jnp.exp(e_h - m_e) * maskf                    # [TE]
         l_new = l_s[h] * scale + jnp.sum(onehot_d * p[None, :], axis=1)
         m_s[h] = m_new
@@ -200,6 +202,7 @@ def fused_relgat_forward(
     attn_dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,  # int32 scalar
     with_stats: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Returns ``[num_blocks * TD, H*F]`` aggregated+normalized messages
     (+bias); with ``with_stats`` also ``[NB*TD, 8, H]`` softmax statistics
@@ -234,6 +237,7 @@ def fused_relgat_forward(
         negative_slope=negative_slope,
         eps=eps,
         attn_dropout_rate=attn_dropout_rate,
+        precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -298,6 +302,7 @@ def _bwd_kernel(
     block_nodes: int,
     negative_slope: float,
     eps: float,
+    precision,
 ):
     c = pl.program_id(0)
 
@@ -308,7 +313,7 @@ def _bwd_kernel(
     td = block_nodes
     f = feat
     maskf = (mask_i > 0).astype(jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
 
     rel_ids = jax.lax.broadcasted_iota(jnp.int32, (te, num_rel), 1)
     onehot_r = (et[:, None] == rel_ids).astype(jnp.float32)   # [TE, R]
@@ -344,8 +349,8 @@ def _bwd_kernel(
         e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
         e_h = jnp.where(maskf > 0, e_h, _NEG)
 
-        m_e = _mxu_rowgather(m_safe, onehot_d)            # [TE]
-        l_e = _mxu_rowgather(l_h, onehot_d)               # [TE]
+        m_e = _rowgather(m_safe, onehot_d)            # [TE]
+        l_e = _rowgather(l_h, onehot_d)               # [TE]
         alpha = jnp.exp(e_h - m_e) / l_e * maskf          # [TE]
 
         g_e = jnp.dot(onehot_d.T, g_h,
@@ -353,7 +358,7 @@ def _bwd_kernel(
         dalpha = jnp.sum(ps_h * g_e, axis=1)              # [TE]
         agg_norm = out_ref_in[:, sl] - bias_col           # [TD, F]
         s_h = jnp.sum(agg_norm * g_h, axis=1)             # [TD]
-        s_e = _mxu_rowgather(s_h, onehot_d)               # [TE]
+        s_e = _rowgather(s_h, onehot_d)               # [TE]
 
         de = alpha * (dalpha - s_e)
         de = de * jnp.where(eraw >= 0, 1.0, negative_slope)
@@ -368,7 +373,7 @@ def _bwd_kernel(
     dps_ref[:] = jnp.concatenate(dps_cols, axis=1)        # [TE, H*F]
     dattn_ref[:] += jnp.concatenate(dattn_contrib, axis=1)  # [R, H*F]
 
-    gs_e = _mxu_rowgather(gsum, onehot_d)                 # [TE]
+    gs_e = _rowgather(gsum, onehot_d)                 # [TE]
     contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)  # [R]
     lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
     dbias_ref[:] += jnp.where(lane == 0, contrib[:, None], 0.0)
@@ -384,6 +389,7 @@ def fused_relgat_backward(
     *,
     negative_slope: float = 0.2,
     eps: float = 1e-16,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Returns ``(dps [E_bp, H*F], dattn [H, R, F], dbias [R])``."""
     heads, num_rel, f = attn.shape
@@ -402,6 +408,7 @@ def fused_relgat_backward(
         block_nodes=td,
         negative_slope=negative_slope,
         eps=eps,
+        precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

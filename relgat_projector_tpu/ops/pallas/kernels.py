@@ -61,7 +61,9 @@ def _zero_cotangent(tree):
     return jax.tree_util.tree_map(one, tree)
 
 
-def _make_propagate(use_bias: bool, negative_slope: float, eps: float):
+def _make_propagate(
+    use_bias: bool, negative_slope: float, eps: float, precision
+):
     """Build the custom-VJP propagate for a given static configuration.
 
     The blocked layout rides through as a regular pytree argument (its
@@ -87,6 +89,7 @@ def _make_propagate(use_bias: bool, negative_slope: float, eps: float):
             ps, be, attn_bank.astype(jnp.float32),
             rel_bias if use_bias else None,
             negative_slope=negative_slope, eps=eps, with_stats=True,
+            precision=precision,
         )
         agg = out_blocks[:num_nodes]
         # Blocks with no edges are never written -> garbage; select to zero.
@@ -121,7 +124,7 @@ def _make_propagate(use_bias: bool, negative_slope: float, eps: float):
         ps = _gather_ps(h, be.src, heads, f)
         dps, dattn, dbias = fused_relgat_backward(
             ps, g_blocks, out_blocks, stats, be, attn_bank,
-            negative_slope=negative_slope, eps=eps,
+            negative_slope=negative_slope, eps=eps, precision=precision,
         )
 
         # Permute per-edge grads from dst-blocked to src-blocked order and
@@ -142,9 +145,22 @@ def _make_propagate(use_bias: bool, negative_slope: float, eps: float):
     return prop
 
 
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    # Mosaic's dot lowering supports only DEFAULT and HIGHEST; "high" maps
+    # to the exact tier.
+    "high": jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
 @functools.lru_cache(maxsize=None)
-def _cached_propagate(use_bias: bool, negative_slope: float, eps: float):
-    return _make_propagate(use_bias, negative_slope, eps)
+def _cached_propagate(
+    use_bias: bool, negative_slope: float, eps: float, precision: str
+):
+    return _make_propagate(
+        use_bias, negative_slope, eps, _PRECISIONS[precision]
+    )
 
 
 def relgat_propagate_pallas(
@@ -157,9 +173,12 @@ def relgat_propagate_pallas(
     eps: float = STABLE_SOFTMAX_EPS,
     attn_dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    kernel_precision: str = "highest",
 ) -> jax.Array:
     """Drop-in replacement for the XLA ``relgat_propagate`` using the fused
-    Pallas kernels over the block-padded layout."""
+    Pallas kernels over the block-padded layout. ``kernel_precision``:
+    "highest" (fp32-exact, reference parity), "high" (bf16x3, ~1e-6 rel) or
+    "default" (bf16, ~4e-3 rel) MXU passes."""
     if attn_dropout_rate > 0.0 and dropout_rng is not None:
         # The fused kernel's in-kernel PRNG mask cannot be replayed by the
         # hand-written backward, so attention-dropout training steps take
@@ -170,7 +189,9 @@ def relgat_propagate_pallas(
             attn_dropout_rate=attn_dropout_rate, dropout_rng=dropout_rng,
         )
     use_bias = rel_bias is not None
-    prop = _cached_propagate(use_bias, float(negative_slope), float(eps))
+    prop = _cached_propagate(
+        use_bias, float(negative_slope), float(eps), kernel_precision
+    )
     num_rel = attn_bank.shape[1]
     bias_arg = (
         rel_bias if use_bias else jnp.zeros((num_rel,), jnp.float32)

@@ -47,6 +47,7 @@ def relgat_propagate(
     edge_mask: Optional[jax.Array] = None,
     use_pallas: bool = False,
     blocked=None,
+    kernel_precision: str = "highest",
 ) -> jax.Array:
     """Return aggregated messages ``[N, H, F]``.
 
@@ -67,6 +68,7 @@ def relgat_propagate(
             eps=eps,
             attn_dropout_rate=attn_dropout_rate,
             dropout_rng=dropout_rng,
+            kernel_precision=kernel_precision,
         )
 
     proj_src = jnp.take(h, src, axis=0)                    # [E, H, F]
