@@ -145,10 +145,16 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         else None
     )
 
-    arch = apply_architecture_preset(
-        args.architecture,
-        {},
-    )
+    # Presets fill in architecture dims the user did NOT set explicitly
+    # (explicit flags win; the reference's presets were unwired TODOs).
+    explicit = {}
+    if args.gat_out_dim != Defaults.GAT_OUT_DIM:
+        explicit["gat_out_dim"] = args.gat_out_dim
+    if args.heads != Defaults.GAT_HEADS:
+        explicit["gat_heads"] = args.heads
+    if args.gat_num_layers != Defaults.GAT_NUM_LAYERS:
+        explicit["gat_num_layers"] = args.gat_num_layers
+    arch = apply_architecture_preset(args.architecture, explicit)
     model = ModelConfig(
         in_dim=1,   # derived from data by the trainer
         num_rel=1,  # derived from data by the trainer

@@ -37,9 +37,11 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as exc:
-        # Already initialized, or single-process without coordinator info.
-        if "already" not in str(exc).lower() and num_processes not in (None, 1):
+    except (RuntimeError, ValueError) as exc:
+        # Already initialized, or single-process without a coordinator
+        # (non-pod environments raise 'coordinator_address should be
+        # defined') — both are fine for single-process runs.
+        if num_processes not in (None, 1) and "already" not in str(exc).lower():
             raise
     return jax.process_index()
 

@@ -118,6 +118,23 @@ class RelGATTrainer:
         self.node_emb = jnp.asarray(self.dataset.node_emb)
         self.graph = self.dataset.graph
 
+        # Multi-chip placement (GSPMD path): DP over the batch on the 'data'
+        # axis, edge partitioning on the 'graph' axis, replicated state.
+        # Single-device configs skip placement entirely.
+        self.mesh = None
+        mesh_cfg = run_config.mesh
+        if mesh_cfg.num_devices > 1:
+            from relgat_projector_tpu.parallel import (
+                make_mesh,
+                place_graph,
+                place_replicated,
+            )
+
+            self.mesh = make_mesh(mesh_cfg)
+            self.state = place_replicated(self.mesh, self.state)
+            self.node_emb = place_replicated(self.mesh, self.node_emb)
+            self.graph = place_graph(self.mesh, self.graph)
+
         self._train_step = make_train_step(
             self.model_cfg, tc, self.optimizer, self.lr_schedule
         )
@@ -144,6 +161,19 @@ class RelGATTrainer:
         self.best_ckpt_dir: Optional[str] = None
 
         self.log_adapter.init_wandb_if_needed()
+
+    def _device_batch(self, batch: Batch):
+        arrays = (
+            jnp.asarray(batch.src),
+            jnp.asarray(batch.rel),
+            jnp.asarray(batch.dst),
+            jnp.asarray(batch.weight),
+        )
+        if self.mesh is not None:
+            from relgat_projector_tpu.parallel import place_batch
+
+            arrays = place_batch(self.mesh, *arrays)
+        return arrays
 
     # ------------------------------------------------------------------
     # Resume
@@ -174,10 +204,7 @@ class RelGATTrainer:
                 self.state.params,
                 self.node_emb,
                 self.graph,
-                jnp.asarray(batch.src),
-                jnp.asarray(batch.rel),
-                jnp.asarray(batch.dst),
-                jnp.asarray(batch.weight),
+                *self._device_batch(batch),
                 jax.random.fold_in(eval_rng, bi),
             )
             out = jax.device_get(out)
@@ -234,10 +261,7 @@ class RelGATTrainer:
                 self.state,
                 self.node_emb,
                 self.graph,
-                jnp.asarray(batch.src),
-                jnp.asarray(batch.rel),
-                jnp.asarray(batch.dst),
-                jnp.asarray(batch.weight),
+                *self._device_batch(batch),
             )
             self.global_step += 1
             n_valid = float(batch.weight.sum())

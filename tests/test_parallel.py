@@ -108,6 +108,58 @@ def test_sharded_multi_step_training_stays_finite():
     assert int(state.step) == 5
 
 
+def test_trainer_with_mesh_matches_single_device():
+    """Full trainer on a 4x2 mesh == single-device trainer numerics."""
+    from relgat_projector_tpu.config import (
+        MeshConfig,
+        RunConfig,
+        TrainConfig,
+    )
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=160, num_edges=1600, num_rel=4, emb_dim=16, seed=0
+    )
+
+    def build(mesh_cfg):
+        run = RunConfig(
+            model=ModelConfig(
+                in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+                gat_num_layers=1, dropout=0.0, project_to_input_size=True,
+                projection_layers=1,
+            ),
+            train=TrainConfig(
+                epochs=1, train_batch_size=64, eval_batch_size=64,
+                num_neg=4, lr=1e-3, lr_scheduler="constant",
+                warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
+                log_every_n_steps=10_000, out_dir="/tmp/relgat-mesh-test",
+            ),
+            mesh=mesh_cfg,
+        )
+        return RelGATTrainer(
+            run, node2emb, rel2idx, triplets, log_to_console=False
+        )
+
+    t1 = build(MeshConfig(data_axis=1, graph_axis=1))
+    t2 = build(MeshConfig(data_axis=4, graph_axis=2))
+    assert t2.mesh is not None
+
+    t1._single_epoch(1, 1)
+    t2._single_epoch(1, 1)
+    m1 = t1.evaluate()
+    m2 = t2.evaluate()
+    np.testing.assert_allclose(m1[0], m2[0], rtol=1e-4)  # MRR
+    np.testing.assert_allclose(m1[2], m2[2], rtol=1e-4)  # loss
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
+        )
+
+
 def test_graft_entry_points():
     import __graft_entry__
 
