@@ -281,7 +281,184 @@ def fused_relgat_forward(
 
 
 # ---------------------------------------------------------------------------
-# Backward: flash-style recompute from saved (m, l) statistics
+# Backward v2: ONE src-blocked kernel.
+#
+# dh[s] = sum_{e: src_e = s} alpha_e * g[dst_e] + de_e * rel_att[et_e]
+# with alpha/de recomputed per edge from per-dst statistics gathered by
+# XLA (m, l, and the softmax-backward sum S = <out - bias, g> — all tiny
+# [N, H] arrays). Eliminates the dst-ordered backward kernel, the [E, H*F]
+# dps materialization, its 1.2x2 GB permutation, and the separate scatter
+# pass: everything accumulates into dh/dattn/dbias in one pass over the
+# SRC-blocked edge stream (where the ps gather has sorted indices, i.e. is
+# nearly sequential).
+# ---------------------------------------------------------------------------
+
+def _bwd_src_kernel(
+    cb_ref,      # [C] int32 scalar prefetch (src-blocked chunk -> block)
+    ps_ref,      # [TE, H*F]   h gathered at src (src-sorted -> cheap)
+    ge_ref,      # [TE, H*F]   g gathered at dst per edge
+    es_ref,      # [TE, 8*H]   per-edge stats: cols [0:H]=m, [H:2H]=l,
+    #                           [2H:3H]=S, col 3H = gsum (sum_{h,f} g[dst])
+    meta_ref,    # [1, 8, TE]  (0=etype, 1=local_src, 2=mask)
+    attn_ref,    # [R, H*F]
+    dh_ref,      # [TD, H*F]  (out, accumulated per src block)
+    dattn_ref,   # [R, H*F]   (out, accumulated across the whole grid)
+    dbias_ref,   # [R, 128]   (out, accumulated; column 0)
+    *,
+    heads: int,
+    feat: int,
+    num_rel: int,
+    block_nodes: int,
+    negative_slope: float,
+    eps: float,
+    precision,
+):
+    c = pl.program_id(0)
+    prev = cb_ref[jnp.maximum(c - 1, 0)]
+    is_first = jnp.logical_or(c == 0, cb_ref[c] != prev)
+
+    et = meta_ref[0, 0, :]
+    ls = meta_ref[0, 1, :]
+    mask_i = meta_ref[0, 2, :]
+    te = et.shape[0]
+    td = block_nodes
+    f = feat
+    maskf = (mask_i > 0).astype(jnp.float32)
+    hi = precision
+
+    rel_ids = jax.lax.broadcasted_iota(jnp.int32, (te, num_rel), 1)
+    onehot_r = (et[:, None] == rel_ids).astype(jnp.float32)   # [TE, R]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (td, te), 0)
+    onehot_s = (rows == ls[None, :]).astype(jnp.float32)      # [TD, TE]
+
+    @pl.when(c == 0)
+    def _():
+        dattn_ref[:] = jnp.zeros_like(dattn_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    rel_att_all = jnp.dot(
+        onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
+        precision=hi,
+    )                                                     # [TE, H*F]
+
+    contrib_cols = []
+    dattn_contrib = []
+    for h in range(heads):
+        sl = slice(h * f, (h + 1) * f)
+        ps_h = ps_ref[:, sl]                              # [TE, F]
+        g_h = ge_ref[:, sl]                               # [TE, F]
+        rel_att = rel_att_all[:, sl]                      # [TE, F]
+
+        m_e = es_ref[:, h]                                # [TE]
+        l_e = jnp.maximum(es_ref[:, heads + h], eps)      # [TE]
+        s_e = es_ref[:, 2 * heads + h]                    # [TE]
+        m_safe = jnp.where(m_e <= _NEG * 0.5, 0.0, m_e)
+
+        eraw = jnp.sum(ps_h * rel_att, axis=1)            # [TE]
+        e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
+        alpha = jnp.exp(e_h - m_safe) / l_e * maskf       # [TE]
+
+        dalpha = jnp.sum(ps_h * g_h, axis=1)              # [TE]
+        de = alpha * (dalpha - s_e)
+        de = de * jnp.where(eraw >= 0, 1.0, negative_slope)
+
+        contrib_cols.append(alpha[:, None] * g_h + de[:, None] * rel_att)
+        dattn_contrib.append(
+            jnp.dot(onehot_r.T, de[:, None] * ps_h,
+                    preferred_element_type=jnp.float32, precision=hi)
+        )
+
+    contrib = jnp.concatenate(contrib_cols, axis=1)       # [TE, H*F]
+    partial = jnp.dot(
+        onehot_s, contrib, preferred_element_type=jnp.float32, precision=hi,
+    )                                                     # [TD, H*F]
+
+    @pl.when(is_first)
+    def _():
+        dh_ref[:] = partial
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        dh_ref[:] += partial
+
+    dattn_ref[:] += jnp.concatenate(dattn_contrib, axis=1)
+
+    gs_e = es_ref[:, 3 * heads]                           # [TE]
+    bias_contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
+    dbias_ref[:] += jnp.where(lane == 0, bias_contrib[:, None], 0.0)
+
+
+def fused_relgat_backward_src(
+    ps_src: jax.Array,    # [E_bp_src, H*F] h gathered at by_src.src
+    g_edge: jax.Array,    # [E_bp_src, H*F] g gathered at by_src.dst
+    edge_stats: jax.Array,  # [E_bp_src, 8*H] (m, l, S, gsum columns)
+    bs: BlockedEdges,     # src-blocked layout
+    attn: jax.Array,      # [H, R, F]
+    *,
+    negative_slope: float = 0.2,
+    eps: float = 1e-16,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Returns ``(dh_blocks [NB*TD, H*F], dattn [H, R, F], dbias [R])``."""
+    heads, num_rel, f = attn.shape
+    e_bp, hf = ps_src.shape
+    te = bs.chunk_edges
+    td = bs.block_nodes
+    c = bs.num_chunks
+
+    attn_flat = jnp.transpose(attn, (1, 0, 2)).reshape(num_rel, hf)
+
+    kernel = functools.partial(
+        _bwd_src_kernel,
+        heads=heads,
+        feat=f,
+        num_rel=num_rel,
+        block_nodes=td,
+        negative_slope=negative_slope,
+        eps=eps,
+        precision=precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((te, 8 * heads), lambda i, cb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, te), lambda i, cb: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_rel, 128), lambda i, cb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    dh_blocks, dattn_flat, dbias = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((bs.num_blocks * td, hf), jnp.float32),
+            jax.ShapeDtypeStruct((num_rel, hf), jnp.float32),
+            jax.ShapeDtypeStruct((num_rel, 128), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(bs.chunk_block, ps_src, g_edge, edge_stats, bs.chunk_meta, attn_flat)
+    dattn = jnp.transpose(dattn_flat.reshape(num_rel, heads, f), (1, 0, 2))
+    return dh_blocks, dattn, dbias[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward v1 (dst-blocked, kept as oracle): flash-style recompute
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(

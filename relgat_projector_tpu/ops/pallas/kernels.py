@@ -25,8 +25,9 @@ def _xla_reference(
     h, attn_bank, rel_bias, be: BlockedEdges, num_nodes,
     *, negative_slope, eps, attn_dropout_rate=0.0, dropout_rng=None,
 ):
-    """XLA propagate on the blocked arrays (identical math; used for the
-    v1 backward pass via jax.vjp and as the validation oracle)."""
+    """XLA propagate on the blocked arrays (identical math; used as the
+    validation oracle and as the differentiable fallback for
+    attention-dropout training steps)."""
     from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
 
     return relgat_propagate(
@@ -104,33 +105,50 @@ def _make_propagate(
 
     def _vjp_bwd(residuals, g):
         from relgat_projector_tpu.ops.pallas.fused import (
-            blocked_scatter_sum,
-            fused_relgat_backward,
+            fused_relgat_backward_src,
         )
 
         h, attn_bank, rel_bias, out_blocks, stats, blocked = residuals
-        be = blocked.by_dst
         bs = blocked.by_src
         heads, num_rel, f = attn_bank.shape
-        td = be.block_nodes
+        td = bs.block_nodes
         n_pad = h.shape[0]
+        hf = heads * f
 
-        # Upstream grad, padded back to block rows. Rows of empty blocks are
-        # never read by the kernel (their blocks have no chunks).
-        g_blocks = jnp.zeros_like(out_blocks).at[:n_pad].set(
-            g.astype(jnp.float32).reshape(n_pad, heads * f)
-        )
+        # Per-node backward statistics (tiny XLA work on [N, ...] arrays):
+        # block rows tile nodes contiguously, so node n is stats row n.
+        g2 = g.astype(jnp.float32).reshape(n_pad, hf)
+        out2 = out_blocks[:n_pad]
+        bias_n = stats[:n_pad, 2, 0]                       # [N]
+        # Softmax-backward sum: S_{n,h} = <out_n - bias_n, g_n> per head.
+        s_nh = jnp.sum(
+            ((out2 - bias_n[:, None]) * g2).reshape(n_pad, heads, f), axis=2
+        )                                                  # [N, H]
+        m_n = stats[:n_pad, 0, :]                          # [N, H]
+        l_n = stats[:n_pad, 1, :]
+        gsum_n = jnp.sum(g2, axis=1)                       # [N]
 
-        ps = _gather_ps(h, be.src, heads, f)
-        dps, dattn, dbias = fused_relgat_backward(
-            ps, g_blocks, out_blocks, stats, be, attn_bank,
+        # Gather everything per src-ordered edge (src gather is sorted ->
+        # nearly sequential; dst gathers are the only random 1.2GB read).
+        dsts = bs.dst
+        edge_stats = jnp.concatenate(
+            [
+                jnp.take(m_n, dsts, axis=0),
+                jnp.take(l_n, dsts, axis=0),
+                jnp.take(s_nh, dsts, axis=0),
+                jnp.take(gsum_n, dsts)[:, None],
+                jnp.zeros((dsts.shape[0], 8 * heads - 3 * heads - 1),
+                          jnp.float32),
+            ],
+            axis=1,
+        )                                                  # [E_src, 8H]
+        ps_src = _gather_ps(h, bs.src, heads, f)
+        g_edge = jnp.take(g2, dsts, axis=0)
+
+        dh_blocks, dattn, dbias = fused_relgat_backward_src(
+            ps_src, g_edge, edge_stats, bs, attn_bank,
             negative_slope=negative_slope, eps=eps, precision=precision,
         )
-
-        # Permute per-edge grads from dst-blocked to src-blocked order and
-        # scatter-sum per source node.
-        dps_src = jnp.take(dps, blocked.dst_slot_of_src_slot, axis=0)
-        dh_blocks = blocked_scatter_sum(dps_src, bs)
         src_mask = jnp.repeat(bs.block_nonempty, td)[:n_pad]
         dh = jnp.where(
             src_mask[:, None] > 0, dh_blocks[:n_pad], 0.0
