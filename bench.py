@@ -73,7 +73,8 @@ def _make_inputs(cfg_d, seed=0):
     return src, dst, et, emb, bs, br, bd
 
 
-def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False):
+def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
+              kernel_precision="highest", td=128, te=512):
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +90,8 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False):
 
     src, dst, et, emb, bs, br, bd = _make_inputs(cfg_d)
     graph = build_graph(
-        src, dst, et, num_nodes=cfg_d["num_nodes"], blocked=use_pallas
+        src, dst, et, num_nodes=cfg_d["num_nodes"], blocked=use_pallas,
+        block_nodes=td, chunk_edges=te,
     )
     node_emb = jnp.asarray(pad_node_embeddings(emb, graph.num_nodes))
 
@@ -104,6 +106,7 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False):
         projection_layers=2,
         scorer_type="distmult",
         use_pallas=use_pallas,
+        kernel_precision=kernel_precision,
     )
     tcfg = TrainConfig(
         train_batch_size=cfg_d["batch_size"],
@@ -245,6 +248,13 @@ def main():
                          "Pallas kernels")
     ap.set_defaults(use_pallas=True)
     ap.add_argument("--measure-torch-baseline", action="store_true")
+    ap.add_argument("--kernel-precision", default="highest",
+                    choices=["highest", "default"],
+                    help="MXU precision in the Pallas kernels (default=bf16)")
+    ap.add_argument("--td", type=int, default=128,
+                    help="dst-block rows in the blocked layout")
+    ap.add_argument("--te", type=int, default=512,
+                    help="edge-chunk size in the blocked layout")
     args = ap.parse_args()
 
     cfg_d = BENCH_SMALL if args.small else BENCH
@@ -266,7 +276,10 @@ def main():
         with open(BASELINE_PATH, "w") as fh:
             json.dump(existing, fh, indent=2)
 
-    eps, spt = bench_jax(cfg_d, steps=args.steps, use_pallas=args.use_pallas)
+    eps, spt = bench_jax(
+        cfg_d, steps=args.steps, use_pallas=args.use_pallas,
+        kernel_precision=args.kernel_precision, td=args.td, te=args.te,
+    )
     print(
         json.dumps(
             {

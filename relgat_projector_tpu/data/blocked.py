@@ -214,8 +214,8 @@ def build_blocked_graph(
     etype: np.ndarray,
     num_nodes: int,
     *,
-    block_nodes: int = 256,
-    chunk_edges: int = 256,
+    block_nodes: int = 128,
+    chunk_edges: int = 512,
 ) -> BlockedGraph:
     """``num_nodes`` must already be the padded node count; only REAL edges
     should be passed (the blocked layouts make their own padding)."""

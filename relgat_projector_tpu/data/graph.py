@@ -61,8 +61,8 @@ def build_graph(
     node_pad_multiple: int = 8,
     sort_by_dst: bool = True,
     blocked: bool = False,
-    block_nodes: int = 64,
-    chunk_edges: int = 256,
+    block_nodes: int = 128,
+    chunk_edges: int = 512,
 ) -> GraphData:
     """Build a padded, dst-sorted :class:`GraphData` from host COO arrays.
 

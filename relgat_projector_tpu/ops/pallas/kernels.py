@@ -128,22 +128,25 @@ def _make_propagate(
         l_n = stats[:n_pad, 1, :]
         gsum_n = jnp.sum(g2, axis=1)                       # [N]
 
-        # Gather everything per src-ordered edge (src gather is sorted ->
-        # nearly sequential; dst gathers are the only random 1.2GB read).
+        # ONE wide per-edge gather: pack g rows and the per-dst stats into a
+        # single [N, HF + 8H] matrix first. Separate narrow-row stat gathers
+        # (16B rows) are pathologically slow on TPU.
         dsts = bs.dst
-        edge_stats = jnp.concatenate(
+        packed = jnp.concatenate(
             [
-                jnp.take(m_n, dsts, axis=0),
-                jnp.take(l_n, dsts, axis=0),
-                jnp.take(s_nh, dsts, axis=0),
-                jnp.take(gsum_n, dsts)[:, None],
-                jnp.zeros((dsts.shape[0], 8 * heads - 3 * heads - 1),
-                          jnp.float32),
+                g2,
+                m_n,
+                l_n,
+                s_nh,
+                gsum_n[:, None],
+                jnp.zeros((n_pad, 5 * heads - 1), jnp.float32),
             ],
             axis=1,
-        )                                                  # [E_src, 8H]
+        )                                                  # [N, HF + 8H]
+        ge_all = jnp.take(packed, dsts, axis=0)
+        g_edge = ge_all[:, :hf]
+        edge_stats = ge_all[:, hf:]
         ps_src = _gather_ps(h, bs.src, heads, f)
-        g_edge = jnp.take(g2, dsts, axis=0)
 
         dh_blocks, dattn, dbias = fused_relgat_backward_src(
             ps_src, g_edge, edge_stats, bs, attn_bank,

@@ -123,6 +123,13 @@ class RelGATTrainer:
         # Single-device configs skip placement entirely.
         self.mesh = None
         mesh_cfg = run_config.mesh
+        if mesh_cfg.num_devices > 1 and self.model_cfg.use_pallas:
+            raise ValueError(
+                "use_pallas + multi-chip mesh is not supported yet: the "
+                "fused kernels are single-chip ops. Use the XLA path "
+                "(use_pallas=False) for GSPMD meshes, or the shard_map "
+                "halo path (parallel.halo) for explicit edge partitioning."
+            )
         if mesh_cfg.num_devices > 1:
             from relgat_projector_tpu.parallel import (
                 make_mesh,
