@@ -1,0 +1,111 @@
+"""Robustness edge cases: tiny graphs, K=1 negatives, self-loops,
+single-relation graphs, ragged final batches through the full step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relgat_projector_tpu.config import ModelConfig, TrainConfig
+from relgat_projector_tpu.data.graph import build_graph, pad_node_embeddings
+from relgat_projector_tpu.models.model import init_model, single_gat_step
+from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
+from relgat_projector_tpu.ops.pallas import relgat_propagate_pallas
+from relgat_projector_tpu.schedules import make_lr_schedule
+from relgat_projector_tpu.train.state import create_train_state, make_optimizer
+from relgat_projector_tpu.train.step import make_train_step
+
+
+def test_self_loops_and_multi_edges():
+    """Self loops and duplicate edges are legal graph content."""
+    src = np.array([0, 0, 0, 1, 2], np.int32)
+    dst = np.array([0, 0, 1, 1, 2], np.int32)
+    et = np.array([0, 1, 0, 1, 0], np.int32)
+    g = build_graph(src, dst, et, num_nodes=3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(pad_node_embeddings(
+        rng.standard_normal((3, 8)).astype(np.float32), g.num_nodes))
+    attn = jnp.asarray((rng.standard_normal((2, 2, 4)) * 0.3).astype(np.float32))
+    h = jnp.einsum("ni,hio->nho", x,
+                   jnp.asarray(rng.standard_normal((2, 8, 4)).astype(np.float32) * 0.3))
+    out = relgat_propagate(h, attn, None, g.src, g.dst, g.etype,
+                           num_nodes=g.num_nodes)
+    assert np.isfinite(np.asarray(out)).all()
+    # node 2 has exactly one (self) edge -> alpha = 1 -> out = its projection
+    np.testing.assert_allclose(
+        np.asarray(out)[2], np.asarray(h)[2], rtol=1e-5
+    )
+
+
+def test_single_relation_graph_pallas():
+    rng = np.random.default_rng(1)
+    n, e = 40, 200
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    et = np.zeros(e, np.int32)
+    g = build_graph(src, dst, et, num_nodes=n, blocked=True,
+                    block_nodes=16, chunk_edges=64)
+    h = jnp.asarray(rng.standard_normal((g.num_nodes, 2, 8)).astype(np.float32))
+    attn = jnp.asarray((rng.standard_normal((2, 1, 8)) * 0.3).astype(np.float32))
+    want = relgat_propagate(h, attn, None, g.src, g.dst, g.etype,
+                            num_nodes=g.num_nodes)
+    got = relgat_propagate_pallas(h, attn, None, g.blocked)
+    # Compare REAL rows only: the plain layout routes its padded edges into
+    # the padded absorber row (garbage there by design); the blocked layout
+    # leaves it zero. Neither is observable by real computation.
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(want)[:n],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_k1_and_ragged_batch():
+    """num_neg=1 and a mostly-padded batch keep the step finite and
+    weighted means correct."""
+    rng = np.random.default_rng(2)
+    n, e, r, d = 50, 250, 3, 12
+    g = build_graph(rng.integers(0, n, e), rng.integers(0, n, e),
+                    rng.integers(0, r, e), num_nodes=n)
+    x = jnp.asarray(pad_node_embeddings(
+        rng.standard_normal((n, d)).astype(np.float32), g.num_nodes))
+    cfg = ModelConfig(in_dim=d, num_rel=r, gat_out_dim=4, gat_heads=2,
+                      gat_num_layers=1, dropout=0.0,
+                      project_to_input_size=True, projection_layers=1)
+    tc = TrainConfig(train_batch_size=32, num_neg=1, lr=1e-3,
+                     lr_scheduler="constant", warmup_steps=0,
+                     eval_ks_ranks=(1,))
+    sched = make_lr_schedule(tc.lr, "constant", 10, 0)
+    opt = make_optimizer(tc, sched)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    state = create_train_state(params, opt, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tc, opt, sched)
+
+    w = np.zeros(32, np.float32)
+    w[:3] = 1.0  # only 3 real examples
+    state, m = step(
+        state, x, g,
+        jnp.asarray(rng.integers(0, n, 32), jnp.int32),
+        jnp.asarray(rng.integers(0, r, 32), jnp.int32),
+        jnp.asarray(rng.integers(0, n, 32), jnp.int32),
+        jnp.asarray(w),
+    )
+    assert bool(m["finite"])
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["mrr"]) <= 1.0
+
+
+def test_dense_hub_node_pallas():
+    """One node receiving most edges (hub) spans many chunks of one block."""
+    rng = np.random.default_rng(3)
+    n, e = 64, 2000
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = np.full(e, 7, np.int32)  # everything into node 7
+    dst[:100] = rng.integers(0, n, 100)
+    et = rng.integers(0, 4, e).astype(np.int32)
+    g = build_graph(src, dst, et, num_nodes=n, blocked=True,
+                    block_nodes=16, chunk_edges=128)
+    h = jnp.asarray(rng.standard_normal((g.num_nodes, 2, 8)).astype(np.float32))
+    attn = jnp.asarray((rng.standard_normal((2, 4, 8)) * 0.3).astype(np.float32))
+    bias = jnp.asarray((rng.standard_normal(4) * 0.1).astype(np.float32))
+    want = relgat_propagate(h, attn, bias, g.src, g.dst, g.etype,
+                            num_nodes=g.num_nodes)
+    got = relgat_propagate_pallas(h, attn, bias, g.blocked)
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(want)[:n],
+                               rtol=1e-4, atol=1e-5)
