@@ -125,6 +125,10 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="MXU precision inside the Pallas kernels")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each GAT layer (memory for compute)")
+    p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
+                   default=1,
+                   help="train steps per jitted dispatch (lax.scan); >1 "
+                        "amortizes per-call overhead on small graphs")
 
     return p.parse_args(argv)
 
@@ -203,6 +207,7 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         log_every_n_steps=args.log_every_n_steps,
         max_checkpoints=args.max_checkpoints,
         out_dir=args.save_dir,
+        steps_per_call=args.steps_per_call,
     )
     return RunConfig(
         model=model,

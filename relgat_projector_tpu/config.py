@@ -151,6 +151,10 @@ class TrainConfig:
 
     max_checkpoints: int = 5
     out_dir: str = Defaults.DEFAULT_TRAINER_OUT_DIR
+    # TPU knob (no reference counterpart): train steps per jitted dispatch
+    # (lax.scan over stacked batches). >1 amortizes per-call host/runtime
+    # overhead; metrics/eval cadence coarsens to call granularity.
+    steps_per_call: int = 1
 
     def __post_init__(self) -> None:
         if self.lr_scheduler.lower() not in ("linear", "cosine", "constant"):

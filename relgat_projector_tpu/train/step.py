@@ -143,6 +143,76 @@ def _global_norm(tree: Any) -> jax.Array:
     )
 
 
+def _step_body(
+    state: TrainState,
+    batch,
+    node_emb: jax.Array,
+    graph: GraphData,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    lr_schedule: Callable,
+    ks,
+):
+    """One optimization step (shared by the single-step and scanned
+    variants): fwd+loss, grads, update, non-finite skip-select, metrics."""
+    src, rel, dst, weight = batch
+    step_rng = jax.random.fold_in(state.rng, state.step)
+
+    def loss_fn(params):
+        return batch_forward(
+            params, model_cfg, train_cfg, node_emb, graph,
+            src, rel, dst, weight, rng=step_rng, train=True,
+        )
+
+    (loss, fwd_metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+
+    # Skip-step on non-finite loss without advancing the schedule
+    # (reference ``trainer:457,771-777``). All-padding batches (zero valid
+    # examples — the scanned path's tail groups) are full no-ops too.
+    active = jnp.sum(weight) > 0
+    finite = jnp.logical_and(jnp.isfinite(loss), active)
+    updates, new_opt_state = optimizer.update(
+        grads, state.opt_state, state.params
+    )
+    new_params = optax.apply_updates(state.params, updates)
+
+    def select(new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(finite, a, b), new, old
+        )
+
+    next_state = TrainState(
+        params=select(new_params, state.params),
+        opt_state=select(new_opt_state, state.opt_state),
+        step=state.step + finite.astype(jnp.int32),
+        rng=state.rng,
+        nonfinite_steps=state.nonfinite_steps
+        + jnp.logical_and(~jnp.isfinite(loss), active).astype(jnp.int32),
+    )
+
+    mrr, hits = M.compute_mrr_hits(
+        fwd_metrics["pos_score"], fwd_metrics["neg_score"], ks,
+        weights=weight,
+    )
+    metrics = {
+        "loss": loss,
+        "finite": finite,
+        "grad_norm": _global_norm(grads),
+        "lr": lr_schedule(state.step),
+        "mrr": mrr,
+        **{f"hits@{k}": v for k, v in hits.items()},
+        **{
+            k: v
+            for k, v in fwd_metrics.items()
+            if k not in ("pos_score", "neg_score")
+        },
+    }
+    return next_state, metrics
+
+
 def make_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
@@ -164,60 +234,44 @@ def make_train_step(
         dst: jax.Array,
         weight: jax.Array,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        step_rng = jax.random.fold_in(state.rng, state.step)
-
-        def loss_fn(params):
-            return batch_forward(
-                params, model_cfg, train_cfg, node_emb, graph,
-                src, rel, dst, weight, rng=step_rng, train=True,
-            )
-
-        (loss, fwd_metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-
-        finite = jnp.isfinite(loss)
-        updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params
+        return _step_body(
+            state, (src, rel, dst, weight), node_emb, graph,
+            model_cfg, train_cfg, optimizer, lr_schedule, ks,
         )
-        new_params = optax.apply_updates(state.params, updates)
-
-        # Skip-step on non-finite loss without advancing the schedule
-        # (reference ``trainer:457,771-777``).
-        def select(new, old):
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(finite, a, b), new, old
-            )
-
-        next_state = TrainState(
-            params=select(new_params, state.params),
-            opt_state=select(new_opt_state, state.opt_state),
-            step=state.step + finite.astype(jnp.int32),
-            rng=state.rng,
-            nonfinite_steps=state.nonfinite_steps
-            + (1 - finite.astype(jnp.int32)),
-        )
-
-        mrr, hits = M.compute_mrr_hits(
-            fwd_metrics["pos_score"], fwd_metrics["neg_score"], ks,
-            weights=weight,
-        )
-        metrics = {
-            "loss": loss,
-            "finite": finite,
-            "grad_norm": _global_norm(grads),
-            "lr": lr_schedule(state.step),
-            "mrr": mrr,
-            **{f"hits@{k}": v for k, v in hits.items()},
-            **{
-                k: v
-                for k, v in fwd_metrics.items()
-                if k not in ("pos_score", "neg_score")
-            },
-        }
-        return next_state, metrics
 
     return train_step
+
+
+def make_scan_train_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    lr_schedule: Callable,
+    unroll_steps: int,
+) -> Callable:
+    """Multi-step variant: runs ``unroll_steps`` train steps inside ONE
+    jitted ``lax.scan`` call over stacked batches ``[S, B]``.
+
+    Amortizes per-dispatch host/runtime overhead (tens of ms through this
+    image's remote PJRT relay) — the dominant cost for small graphs. Returns
+    ``(state, metrics)`` where metric leaves are stacked ``[S]``.
+    """
+    ks = tuple(train_cfg.eval_ks_ranks)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scan_step(state, node_emb, graph, src_s, rel_s, dst_s, weight_s):
+        def scan_body(carry, xs):
+            return _step_body(
+                carry, xs, node_emb, graph,
+                model_cfg, train_cfg, optimizer, lr_schedule, ks,
+            )
+
+        return jax.lax.scan(
+            scan_body, state, (src_s, rel_s, dst_s, weight_s),
+            length=unroll_steps,
+        )
+
+    return scan_step
 
 
 def make_eval_step(

@@ -142,9 +142,18 @@ class RelGATTrainer:
             self.node_emb = place_replicated(self.mesh, self.node_emb)
             self.graph = place_graph(self.mesh, self.graph)
 
+        self.steps_per_call = max(1, int(tc.steps_per_call))
         self._train_step = make_train_step(
             self.model_cfg, tc, self.optimizer, self.lr_schedule
         )
+        self._scan_step = None
+        if self.steps_per_call > 1:
+            from relgat_projector_tpu.train.step import make_scan_train_step
+
+            self._scan_step = make_scan_train_step(
+                self.model_cfg, tc, self.optimizer, self.lr_schedule,
+                self.steps_per_call,
+            )
         self._eval_step = make_eval_step(self.model_cfg, tc)
 
         # Loop bookkeeping (parity with reference fields).
@@ -254,6 +263,8 @@ class RelGATTrainer:
         return out_model_dir
 
     def _single_epoch(self, epoch: int, epochs: int):
+        if self._scan_step is not None:
+            return self._single_epoch_scanned(epoch, epochs)
         bs = self.train_cfg.train_batch_size
         # Deferred metric futures: device scalars fetched only at log time.
         pending: List[Tuple[int, Any]] = []
@@ -294,6 +305,101 @@ class RelGATTrainer:
                 if bool(np.asarray(m["finite"])):
                     running_loss += float(np.asarray(m["loss"])) * n_valid
                     running_examples += int(n_valid)
+
+    def _single_epoch_scanned(self, epoch: int, epochs: int):
+        """Epoch loop dispatching ``steps_per_call`` steps per jitted call
+        (lax.scan). Metrics arrive stacked [S]; logging/eval run at call
+        granularity."""
+        bs = self.train_cfg.train_batch_size
+        s = self.steps_per_call
+        batches = list(self.dataset.train_batches(bs))
+        # Group into scan chunks; pad the tail with zero-weight batches
+        # (weighted losses/metrics ignore them, optimizer still steps on a
+        # zero-example loss of 0/... so mask them out via weight=0 -> loss
+        # over zero examples = 0 contributions but ranking mean would be
+        # 0/0-guarded; simplest: wrap the tail into the next epoch is NOT
+        # reference semantics, so pad with repeats of the last batch,
+        # weights zeroed).
+        while len(batches) % s != 0:
+            last = batches[-1]
+            batches.append(
+                Batch(src=last.src, rel=last.rel, dst=last.dst,
+                      weight=np.zeros_like(last.weight))
+            )
+
+        last_log_time = time.time()
+        for lo in range(0, len(batches), s):
+            group = batches[lo : lo + s]
+            src_s = jnp.asarray(np.stack([b.src for b in group]))
+            rel_s = jnp.asarray(np.stack([b.rel for b in group]))
+            dst_s = jnp.asarray(np.stack([b.dst for b in group]))
+            w_s = jnp.asarray(np.stack([b.weight for b in group]))
+            if self.mesh is not None:
+                from relgat_projector_tpu.parallel import place_batch
+
+                src_s, rel_s, dst_s, w_s = place_batch(
+                    self.mesh, src_s, rel_s, dst_s, w_s
+                )
+            self.state, metrics = self._scan_step(
+                self.state, self.node_emb, self.graph, src_s, rel_s, dst_s,
+                w_s,
+            )
+            self.global_step += s
+
+            if (
+                self.global_step % self.log_adapter.log_every_n_steps
+                < s
+            ):
+                m = jax.device_get(metrics)
+                now = time.time()
+                window = now - last_log_time
+                last_log_time = now
+                finite = np.asarray(m["finite"])
+                losses = np.asarray(m["loss"])
+                avg_loss = (
+                    float(losses[finite].mean()) if finite.any() else 0.0
+                )
+                log = {
+                    "epoch": epoch,
+                    "train/loss_step": avg_loss,
+                    "train/grad_norm": float(np.asarray(m["grad_norm"])[-1]),
+                    "train/lr": float(np.asarray(m["lr"])[-1]),
+                    "train/step_time": window / s,
+                    "train/edges_per_sec": (
+                        self.graph.num_real_edges
+                        * self.model_cfg.gat_num_layers * s / window
+                        if window > 0 else 0.0
+                    ),
+                    "train/mrr": float(np.asarray(m["mrr"])[-1]),
+                    "train/pos_score_mean": float(
+                        np.asarray(m["pos_score_mean"])[-1]
+                    ),
+                    "train/neg_score_mean": float(
+                        np.asarray(m["neg_score_mean"])[-1]
+                    ),
+                }
+                if "cosine_pos" in m:
+                    log["train/cosine_pos"] = float(
+                        np.asarray(m["cosine_pos"])[-1]
+                    )
+                nonfinite = int((~finite).sum())
+                if nonfinite:
+                    log["train/nonfinite_loss_steps"] = nonfinite
+                print(
+                    f"\nGlobal step {self.global_step} "
+                    f"loss_step: {avg_loss:.8f} "
+                    f"lr: {log['train/lr']:.8f}"
+                )
+                self.log_adapter.log_metrics(metrics=log, step=self.global_step)
+                self.global_step = int(self.state.step)
+
+            if (
+                self.eval_every_n_steps is not None
+                and self.global_step % self.eval_every_n_steps < s
+            ):
+                if self._run_eval_and_maybe_early_stop(epoch=epoch):
+                    self.training_should_stop = True
+                    return
 
     def _flush_logs(
         self,

@@ -180,6 +180,29 @@ def test_early_stop_counts_and_direction(tmp_path):
         assert not tr3._on_eval_end(mrr=0.5, cosine=0.9)
 
 
+def test_scanned_steps_match_single_steps(tmp_path):
+    """steps_per_call > 1 (lax.scan) must produce the same params as the
+    per-step path for the same seed/data."""
+    tr1 = _tiny_trainer(tmp_path, epochs=1)
+    tr2 = _tiny_trainer(tmp_path, epochs=1, steps_per_call=4)
+    assert tr2._scan_step is not None
+    tr1._single_epoch(1, 1)
+    tr2._single_epoch(1, 1)
+    assert int(tr1.state.step) == int(tr2.state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr1.state.params),
+        jax.tree_util.tree_leaves(tr2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+    # and it keeps learning over multiple epochs
+    mrr0 = tr2.evaluate()[0]
+    for ep in range(4):
+        tr2._single_epoch(ep + 2, 5)
+    assert np.isfinite(tr2.evaluate()[0])
+
+
 def test_remat_matches_no_remat():
     """jax.checkpoint layers: identical loss and grads, less live memory."""
     import jax.numpy as jnp
