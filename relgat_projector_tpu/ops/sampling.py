@@ -14,7 +14,6 @@ reproducibility from the folded key.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def sample_negative_dst(

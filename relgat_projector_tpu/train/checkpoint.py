@@ -21,7 +21,6 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
-import numpy as np
 
 from relgat_projector_tpu.config import Defaults, ModelConfig
 from relgat_projector_tpu.models import model as model_lib

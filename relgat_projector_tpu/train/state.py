@@ -15,7 +15,7 @@ could not resume (SURVEY.md §5.4).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -313,13 +313,9 @@ class RelGATTrainer:
         bs = self.train_cfg.train_batch_size
         s = self.steps_per_call
         batches = list(self.dataset.train_batches(bs))
-        # Group into scan chunks; pad the tail with zero-weight batches
-        # (weighted losses/metrics ignore them, optimizer still steps on a
-        # zero-example loss of 0/... so mask them out via weight=0 -> loss
-        # over zero examples = 0 contributions but ranking mean would be
-        # 0/0-guarded; simplest: wrap the tail into the next epoch is NOT
-        # reference semantics, so pad with repeats of the last batch,
-        # weights zeroed).
+        # Group into scan chunks; pad the tail with zero-weight batches,
+        # which the step body treats as full no-ops (no param/optimizer/step
+        # change), so scanned epochs match per-step epochs exactly.
         while len(batches) % s != 0:
             last = batches[-1]
             batches.append(
@@ -328,6 +324,7 @@ class RelGATTrainer:
             )
 
         last_log_time = time.time()
+        last_log_step = self.global_step
         for lo in range(0, len(batches), s):
             group = batches[lo : lo + s]
             src_s = jnp.asarray(np.stack([b.src for b in group]))
@@ -353,7 +350,9 @@ class RelGATTrainer:
                 m = jax.device_get(metrics)
                 now = time.time()
                 window = now - last_log_time
+                steps_in_window = max(1, self.global_step - last_log_step)
                 last_log_time = now
+                last_log_step = self.global_step
                 finite = np.asarray(m["finite"])
                 losses = np.asarray(m["loss"])
                 avg_loss = (
@@ -364,10 +363,11 @@ class RelGATTrainer:
                     "train/loss_step": avg_loss,
                     "train/grad_norm": float(np.asarray(m["grad_norm"])[-1]),
                     "train/lr": float(np.asarray(m["lr"])[-1]),
-                    "train/step_time": window / s,
+                    "train/step_time": window / steps_in_window,
                     "train/edges_per_sec": (
                         self.graph.num_real_edges
-                        * self.model_cfg.gat_num_layers * s / window
+                        * self.model_cfg.gat_num_layers
+                        * steps_in_window / window
                         if window > 0 else 0.0
                     ),
                     "train/mrr": float(np.asarray(m["mrr"])[-1]),
