@@ -20,6 +20,7 @@ setup(
         "console_scripts": [
             # Parity with reference setup.py:50-54.
             "relgat-projector-train=relgat_projector_tpu.cli:main",
+            "relgat-projector-export=relgat_projector_tpu.export:main",
         ]
     },
 )
