@@ -146,6 +146,20 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_after_scanned_training(tmp_path):
+    """Scanned trainer saves a resumable state; a per-step trainer can pick
+    it up (dispatch modes are interchangeable)."""
+    tr = _tiny_trainer(tmp_path, epochs=1, steps_per_call=8)
+    tr.train()
+    step_after = int(tr.state.step)
+
+    tr2 = _tiny_trainer(tmp_path, epochs=1)  # per-step mode
+    assert tr2.maybe_resume()
+    assert int(tr2.state.step) == step_after
+    tr2._single_epoch(1, 1)  # continues without error
+    assert int(tr2.state.step) > step_after
+
+
 def test_checkpoint_pruning_works(tmp_path):
     """FIFO pruning keeps max_checkpoints dirs (fixes reference quirk 4)."""
     tr = _tiny_trainer(tmp_path, max_checkpoints=2)
