@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from collections import deque
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
@@ -39,12 +40,29 @@ def _state_to_pytree(state: TrainState) -> Dict[str, Any]:
     }
 
 
-def save_train_state(path: str, state: TrainState) -> None:
+def save_train_state(
+    path: str, state: TrainState, *, async_write: bool = False
+) -> Optional[threading.Thread]:
+    """Persist the full train state. With ``async_write`` the device->host
+    copy happens synchronously (cheap) but serialization + disk IO run on a
+    background thread so training resumes immediately (the reference blocked
+    the loop on every ``torch.save``)."""
     from flax import serialization
 
     host = jax.device_get(_state_to_pytree(state))
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(host))
+
+    def write():
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(host))
+        os.replace(tmp, path)
+
+    if async_write:
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        return t
+    write()
+    return None
 
 
 def load_train_state(path: str, template: TrainState) -> TrainState:
@@ -93,18 +111,27 @@ class RelGATStorage:
         files: List[Tuple[str, Dict[Any, Any]]],
         *,
         prunable: bool = True,
+        async_write: bool = False,
     ) -> str:
         """Write model export + sidecars + full train state into
-        ``save_dir/subdir``; returns the checkpoint dir path."""
+        ``save_dir/subdir``; returns the checkpoint dir path. With
+        ``async_write`` the train-state serialization runs off-thread."""
         out_dir = self.save_dir / subdir
         out_dir.mkdir(parents=True, exist_ok=True)
         model_lib.save_pretrained(
             str(out_dir), state.params, model_cfg, add_files=list(files)
         )
-        save_train_state(str(out_dir / _STATE_FILE), state)
+        self._pending_write = save_train_state(
+            str(out_dir / _STATE_FILE), state, async_write=async_write
+        )
         if prunable:
             self.saved_checkpoints.append(out_dir)
         return str(out_dir)
+
+    def wait_for_writes(self) -> None:
+        t = getattr(self, "_pending_write", None)
+        if t is not None:
+            t.join()
 
     def latest_resumable(self) -> Optional[str]:
         """Newest checkpoint dir containing a train state, or None."""
