@@ -56,13 +56,16 @@ def get_args(argv=None) -> argparse.Namespace:
                    default=Defaults.LOG_EVERY_N_STEPS)
     p.add_argument("--scorer", type=str, choices=["distmult", "transe"],
                    default=Defaults.GAT_SCORER)
+    # None sentinels: a preset fills these only when the flag was truly
+    # absent (comparing against library defaults would misread an explicit
+    # "--heads 12" as unset).
     p.add_argument("--gat-out-dim", dest="gat_out_dim", type=int,
-                   default=Defaults.GAT_OUT_DIM)
+                   default=None)
     p.add_argument("--gat-num-layers", dest="gat_num_layers", type=int,
-                   default=Defaults.GAT_NUM_LAYERS)
+                   default=None)
     p.add_argument("--num-neg", dest="num_neg", type=int,
                    default=Defaults.NUM_NEG)
-    p.add_argument("--heads", type=int, default=Defaults.GAT_HEADS)
+    p.add_argument("--heads", type=int, default=None)
     p.add_argument("--project-to-input-size", dest="project_to_input_size",
                    action="store_true")
     p.add_argument("--projection-layers", dest="projection_layers", type=int,
@@ -149,22 +152,22 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         else None
     )
 
-    # Presets fill in architecture dims the user did NOT set explicitly
+    # Presets fill in architecture dims the user did NOT pass at all
     # (explicit flags win; the reference's presets were unwired TODOs).
     explicit = {}
-    if args.gat_out_dim != Defaults.GAT_OUT_DIM:
+    if args.gat_out_dim is not None:
         explicit["gat_out_dim"] = args.gat_out_dim
-    if args.heads != Defaults.GAT_HEADS:
+    if args.heads is not None:
         explicit["gat_heads"] = args.heads
-    if args.gat_num_layers != Defaults.GAT_NUM_LAYERS:
+    if args.gat_num_layers is not None:
         explicit["gat_num_layers"] = args.gat_num_layers
     arch = apply_architecture_preset(args.architecture, explicit)
     model = ModelConfig(
         in_dim=1,   # derived from data by the trainer
         num_rel=1,  # derived from data by the trainer
-        gat_out_dim=arch.get("gat_out_dim", args.gat_out_dim),
-        gat_heads=arch.get("gat_heads", args.heads),
-        gat_num_layers=arch.get("gat_num_layers", args.gat_num_layers),
+        gat_out_dim=arch.get("gat_out_dim", Defaults.GAT_OUT_DIM),
+        gat_heads=arch.get("gat_heads", Defaults.GAT_HEADS),
+        gat_num_layers=arch.get("gat_num_layers", Defaults.GAT_NUM_LAYERS),
         dropout=args.dropout,
         rel_attn_dropout=args.dropout_rel_attention,
         scorer_type=args.scorer,

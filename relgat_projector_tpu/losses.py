@@ -150,22 +150,22 @@ def multi_objective_loss(
     mse = mse_loss(transformed_src, dst_vec, weights)
 
     parts = []
-    weights = 0.0
+    weight_sum = 0.0
     if relgat_weight != 0.0:
         parts.append(relgat_weight * rank)
-        weights += relgat_weight
+        weight_sum += relgat_weight
     if pos_cosine_weight != 0.0:
         parts.append(pos_cosine_weight * cos_pos)
-        weights += pos_cosine_weight
+        weight_sum += pos_cosine_weight
     if neg_cosine_weight != 0.0:
         parts.append(neg_cosine_weight * (1.0 - cos_neg))
-        weights += neg_cosine_weight
+        weight_sum += neg_cosine_weight
     if mse_weight != 0.0:
         parts.append(mse_weight * mse)
-        weights += mse_weight
+        weight_sum += mse_weight
     if not parts:
         raise ValueError("At least one loss weight must be non-zero.")
-    total = sum(parts) / weights
+    total = sum(parts) / weight_sum
     return MultiObjectiveParts(
         total=total, ranking=rank, cosine_pos=cos_pos, cosine_neg=cos_neg, mse=mse
     )

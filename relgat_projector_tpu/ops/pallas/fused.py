@@ -152,11 +152,17 @@ def _fused_kernel(
         # applied to normalized weights -> to p in the numerator only.
         p_acc = p
         if attn_dropout_rate > 0.0:
-            bits = pltpu.prng_random_bits((8, te))        # uint32
+            # One sublane-padded draw per (chunk, head) -> independent masks
+            # for every head. NOTE: this in-kernel path is currently only
+            # reachable via fused_relgat_forward directly — the propagate
+            # dispatch routes dropout training through the XLA path because
+            # the hand-written backward does not replay the mask.
+            hp = -(-heads // 8) * 8
+            bits = pltpu.prng_random_bits((hp, te))       # uint32
             thresh = jnp.uint32(
                 (1.0 - attn_dropout_rate) * 4294967295.0
             )
-            keep = (bits[h % 8, :] < thresh).astype(jnp.float32)
+            keep = (bits[h, :] < thresh).astype(jnp.float32)
             p_acc = p * keep / (1.0 - attn_dropout_rate)
 
         w = onehot_d * p_acc[None, :]                     # [TD, TE]

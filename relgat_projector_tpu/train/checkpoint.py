@@ -116,6 +116,9 @@ class RelGATStorage:
         """Write model export + sidecars + full train state into
         ``save_dir/subdir``; returns the checkpoint dir path. With
         ``async_write`` the train-state serialization runs off-thread."""
+        # Never let two background writes overlap (or overwrite a pending
+        # handle): join the previous one first.
+        self.wait_for_writes()
         out_dir = self.save_dir / subdir
         out_dir.mkdir(parents=True, exist_ok=True)
         model_lib.save_pretrained(
@@ -151,6 +154,8 @@ class RelGATStorage:
         """Keep the ``max_checkpoints`` most recent prunable checkpoints."""
         if self.max_checkpoints is None or self.max_checkpoints < 1:
             return
+        # Don't rmtree a directory whose background write is in flight.
+        self.wait_for_writes()
         while len(self.saved_checkpoints) > self.max_checkpoints:
             oldest = self.saved_checkpoints.popleft()
             try:

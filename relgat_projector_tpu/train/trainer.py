@@ -258,6 +258,7 @@ class RelGATTrainer:
                     break
 
         out_model_dir = self._save_checkpoint(subdir=None)
+        self.storage.wait_for_writes()
         print(f"\nTraining finished - model saved to: {out_model_dir}")
         self.log_adapter.finish_wandb_if_needed()
         return out_model_dir
@@ -299,12 +300,8 @@ class RelGATTrainer:
                     self.training_should_stop = True
                     return
 
-        # Account for unflushed tail so running averages stay correct.
-        if pending:
-            for _, m, n_valid, _ in pending:
-                if bool(np.asarray(m["finite"])):
-                    running_loss += float(np.asarray(m["loss"])) * n_valid
-                    running_examples += int(n_valid)
+        # Unflushed tail steps simply roll off unlogged (same as the
+        # reference, which only logs at the cadence boundary).
 
     def _single_epoch_scanned(self, epoch: int, epochs: int):
         """Epoch loop dispatching ``steps_per_call`` steps per jitted call
@@ -382,6 +379,17 @@ class RelGATTrainer:
                     log["train/cosine_pos"] = float(
                         np.asarray(m["cosine_pos"])[-1]
                     )
+                    log["train/cosine_neg"] = float(
+                        np.asarray(m["cosine_neg"])[-1]
+                    )
+                    log["train/mse"] = float(np.asarray(m["mse"])[-1])
+                for k in self.eval_ks_ranks:
+                    key = f"hits@{k}"
+                    if key in m:
+                        log[f"train/{key}"] = float(np.asarray(m[key])[-1])
+                nfs = int(np.asarray(m["nonfinite_scores"]).sum())
+                if nfs:
+                    log["train/nonfinite_scores"] = nfs
                 nonfinite = int((~finite).sum())
                 if nonfinite:
                     log["train/nonfinite_loss_steps"] = nonfinite
@@ -467,7 +475,9 @@ class RelGATTrainer:
         self.log_adapter.log_metrics(metrics=log, step=self.global_step)
         # Reconcile with the device's finite-step counter.
         self.global_step = int(self.state.step)
-        return 0.0, 1
+        # Fresh window (the reference reset its example counter to 1 —
+        # trainer:853 — skewing every window average by one; fixed here).
+        return 0.0, 0
 
     # ------------------------------------------------------------------
     # Eval plumbing + early stop (reference ``trainer:678-769``)
@@ -557,6 +567,9 @@ class RelGATTrainer:
             subdir=subdir,
             state=self.state,
             model_cfg=self.model_cfg,
+            # Periodic (best) checkpoints write the train state off-thread;
+            # the final save is synchronous.
+            async_write=prunable,
             files=[
                 (
                     Defaults.TRAINING_CONFIG_FILE_NAME,
