@@ -146,6 +146,19 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_scanned_logging_block_executes(tmp_path, capsys):
+    """The scanned path's log block (hits@k, cosine metrics, throughput)
+    runs and emits the per-step metric namespace."""
+    tr = _tiny_trainer(tmp_path, epochs=1, steps_per_call=4,
+                       log_every_n_steps=4)
+    tr.log_adapter.log_to_console = True
+    tr._single_epoch(1, 1)
+    out = capsys.readouterr().out
+    for key in ("train/loss_step", "train/edges_per_sec", "train/mrr",
+                "train/hits@1", "train/cosine_pos", "train/mse"):
+        assert key in out, key
+
+
 def test_resume_after_scanned_training(tmp_path):
     """Scanned trainer saves a resumable state; a per-step trainer can pick
     it up (dispatch modes are interchangeable)."""
