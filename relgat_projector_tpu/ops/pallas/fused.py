@@ -348,7 +348,7 @@ def _bwd_src_kernel(
     )                                                     # [TE, H*F]
 
     contrib_cols = []
-    dattn_contrib = []
+    deps_cols = []
     for h in range(heads):
         sl = slice(h * f, (h + 1) * f)
         ps_h = ps_ref[:, sl]                              # [TE, F]
@@ -369,10 +369,7 @@ def _bwd_src_kernel(
         de = de * jnp.where(eraw >= 0, 1.0, negative_slope)
 
         contrib_cols.append(alpha[:, None] * g_h + de[:, None] * rel_att)
-        dattn_contrib.append(
-            jnp.dot(onehot_r.T, de[:, None] * ps_h,
-                    preferred_element_type=jnp.float32, precision=hi)
-        )
+        deps_cols.append(de[:, None] * ps_h)
 
     contrib = jnp.concatenate(contrib_cols, axis=1)       # [TE, H*F]
     partial = jnp.dot(
@@ -387,7 +384,12 @@ def _bwd_src_kernel(
     def _():
         dh_ref[:] += partial
 
-    dattn_ref[:] += jnp.concatenate(dattn_contrib, axis=1)
+    # One [R, TE] @ [TE, H*F] matmul for all heads' dattn contributions
+    # (N=H*F utilizes the MXU far better than per-head N=F passes).
+    deps = jnp.concatenate(deps_cols, axis=1)             # [TE, H*F]
+    dattn_ref[:] += jnp.dot(
+        onehot_r.T, deps, preferred_element_type=jnp.float32, precision=hi,
+    )
 
     gs_e = es_ref[:, 3 * heads]                           # [TE]
     bias_contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)
