@@ -112,7 +112,7 @@ void blocked_phase2(const int64_t* keys, const int32_t* src,
     }
   }
 
-  // chunk_meta [C, 8, TE]
+  // chunk_meta [C, 8, TE]; row 3 = canonical edge id (dropout-mask hash key)
   std::memset(chunk_meta, 0, sizeof(int32_t) * num_chunks * 8 * te);
   for (int64_t c = 0; c < num_chunks; ++c) {
     int32_t* m = chunk_meta + c * 8 * te;
@@ -121,6 +121,7 @@ void blocked_phase2(const int64_t* keys, const int32_t* src,
       m[0 * te + j] = et_b[slot];
       m[1 * te + j] = local_b[slot];
       m[2 * te + j] = mask_b[slot] > 0 ? 1 : 0;
+      m[3 * te + j] = edge_of_slot[slot];
     }
   }
 }

@@ -87,10 +87,19 @@ class ModelConfig:
     # recompute for the all-N activation memory of full-graph backward)
     kernel_precision: str = "highest"  # Pallas MXU passes: "highest"
     # (fp32-exact, reference parity) | "high" (bf16x3) | "default" (bf16)
+    mesh_propagate: str = "halo"   # graph-axis strategy when graph_axis > 1:
+    # "halo" (node-sharded features + boundary-only all_to_all,
+    # parallel/halo.py) | "replicated" (replicated features, per-device
+    # blocked shards, parallel/pallas_sharded.py) | "gspmd" (XLA-inserted
+    # psums of full [N,...] partials over sharded edge lists)
 
     def __post_init__(self) -> None:
         if self.scorer_type.lower() not in ("distmult", "transe"):
             raise ValueError(f"Unknown scorer_type: {self.scorer_type}")
+        if self.mesh_propagate not in ("halo", "replicated", "gspmd"):
+            raise ValueError(
+                f"Unknown mesh_propagate: {self.mesh_propagate}"
+            )
         if self.project_to_input_size and self.projection_layers < 1:
             raise ValueError(
                 "projection_layers must be >= 1 when project_to_input_size=True"

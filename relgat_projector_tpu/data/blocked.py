@@ -176,6 +176,11 @@ def _build_one(
     chunk_meta[:, 2, :] = mask_b.reshape(num_chunks, chunk_edges).astype(
         np.int32
     )
+    # Row 3: canonical edge id per slot — the replayable attention-dropout
+    # masks hash on it (``ops/dropout.py``); layout-order independent.
+    chunk_meta[:, 3, :] = edge_of_slot.reshape(
+        num_chunks, chunk_edges
+    ).astype(np.int32)
 
     return BlockedEdges(
         src=jnp.asarray(src_b),
@@ -191,6 +196,72 @@ def _build_one(
         block_nodes=int(block_nodes),
         chunk_edges=int(chunk_edges),
         num_blocks=int(num_blocks),
+    )
+
+
+def pad_blocked_edges(
+    be: BlockedEdges, num_chunks: int, num_edges_canonical: int = 0
+) -> BlockedEdges:
+    """Pad a blocked layout to exactly ``num_chunks`` chunks (and the
+    matching ``num_chunks * TE`` slots) so layouts from differently-sized
+    graph shards stack into one ``[G, ...]`` pytree with identical shapes
+    (``parallel/pallas_sharded.py``).
+
+    Padding chunks repeat the LAST real chunk's block id with fully-masked
+    metadata: the kernels re-accumulate zero and idempotently re-write that
+    block's already-final output, so results are unchanged.
+    ``slot_of_edge`` is padded to ``num_edges_canonical`` (it indexes
+    canonical edges, whose count also differs per shard; only callers that
+    track canonical edges read it)."""
+    te = be.chunk_edges
+    c = be.num_chunks
+    if num_chunks < c:
+        raise ValueError(f"cannot shrink {c} chunks to {num_chunks}")
+    extra_c = num_chunks - c
+    extra_s = extra_c * te
+
+    def pad_slots(arr, fill_from_last: bool):
+        arr = np.asarray(arr)
+        if extra_s == 0:
+            return jnp.asarray(arr)
+        fill = arr[-1] if fill_from_last and arr.shape[0] else 0
+        return jnp.asarray(
+            np.concatenate([arr, np.full((extra_s,), fill, arr.dtype)])
+        )
+
+    cb = np.asarray(be.chunk_block)
+    cb_fill = cb[-1] if cb.shape[0] else 0
+    chunk_block = jnp.asarray(
+        np.concatenate([cb, np.full((extra_c,), cb_fill, cb.dtype)])
+    )
+    meta = np.asarray(be.chunk_meta)
+    chunk_meta = jnp.asarray(
+        np.concatenate(
+            [meta, np.zeros((extra_c, 8, te), meta.dtype)], axis=0
+        )
+    )
+    soe = np.asarray(be.slot_of_edge)
+    if num_edges_canonical < soe.shape[0]:
+        num_edges_canonical = soe.shape[0]
+    slot_of_edge = jnp.asarray(
+        np.concatenate(
+            [soe, np.zeros((num_edges_canonical - soe.shape[0],), soe.dtype)]
+        )
+    )
+    return BlockedEdges(
+        src=pad_slots(be.src, True),
+        dst=pad_slots(be.dst, True),
+        etype=pad_slots(be.etype, False),
+        mask=pad_slots(be.mask, False),
+        local_seg=pad_slots(be.local_seg, False),
+        chunk_block=chunk_block,
+        slot_of_edge=slot_of_edge,
+        block_nonempty=be.block_nonempty,
+        chunk_meta=chunk_meta,
+        edge_of_slot=pad_slots(be.edge_of_slot, True),
+        block_nodes=be.block_nodes,
+        chunk_edges=be.chunk_edges,
+        num_blocks=be.num_blocks,
     )
 
 

@@ -48,6 +48,8 @@ class RelGATData:
         edge_pad_multiple: int = 128,
         node_pad_multiple: int = 8,
         blocked: bool = False,
+        graph_shards: int = 1,
+        halo_shards: int = 0,
     ):
         self.rel2idx = dict(rel2idx)
         self.num_rel = len(rel2idx)
@@ -101,6 +103,8 @@ class RelGATData:
             edge_pad_multiple=edge_pad_multiple,
             node_pad_multiple=node_pad_multiple,
             blocked=blocked,
+            graph_shards=graph_shards,
+            halo_shards=halo_shards,
         )
         # Frozen embeddings padded to the graph's node count.
         self.node_emb = pad_node_embeddings(emb, self.graph.num_nodes)

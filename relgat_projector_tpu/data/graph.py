@@ -63,12 +63,19 @@ def build_graph(
     blocked: bool = False,
     block_nodes: int = 128,
     chunk_edges: int = 512,
+    graph_shards: int = 1,
+    halo_shards: int = 0,
 ) -> GraphData:
     """Build a padded, dst-sorted :class:`GraphData` from host COO arrays.
 
     Padded edges use ``src = dst = num_nodes_padded - 1`` (a padded node row)
     and ``etype = 0``; padded nodes have zero in-degree from real edges, so
     nothing real is perturbed.
+
+    ``halo_shards > 0`` builds the boundary-only halo-exchange layout
+    (``parallel/halo.py``) — node-sharded features over that many graph-axis
+    devices; ``graph_shards > 1`` (with ``blocked``) builds per-device
+    blocked layouts for the replicated-feature Pallas mesh path instead.
     """
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
@@ -80,8 +87,28 @@ def build_graph(
         order = np.argsort(dst, kind="stable")
         src, dst, etype = src[order], dst[order], etype[order]
 
+    halo_graph = None
+    if halo_shards > 0:
+        from relgat_projector_tpu.parallel.halo import build_halo_graph
+
+        halo_graph = build_halo_graph(
+            src[:num_real_edges],
+            dst[:num_real_edges],
+            etype[:num_real_edges],
+            num_real_nodes=num_real_nodes,
+            num_shards=halo_shards,
+            blocked=blocked,
+            block_nodes=block_nodes,
+            chunk_edges=chunk_edges,
+        )
+
     # Always reserve at least one padded node row to absorb padded edges.
-    num_nodes_padded = round_up(num_real_nodes + 1, node_pad_multiple)
+    # Halo mode pads to the shard-even node space instead.
+    num_nodes_padded = (
+        halo_graph.num_nodes
+        if halo_graph is not None
+        else round_up(num_real_nodes + 1, node_pad_multiple)
+    )
     e_pad = max(round_up(max(num_real_edges, 1), edge_pad_multiple), edge_pad_multiple)
 
     pad_n = e_pad - num_real_edges
@@ -91,18 +118,39 @@ def build_graph(
     et_p = np.concatenate([etype, np.zeros(pad_n, np.int32)])
 
     blocked_graph = None
-    if blocked:
-        from relgat_projector_tpu.data.blocked import build_blocked_graph
-
-        # Only REAL edges; the blocked layout makes its own masked padding.
-        blocked_graph = build_blocked_graph(
-            src[:num_real_edges] if num_real_edges else src[:0],
-            dst[:num_real_edges] if num_real_edges else dst[:0],
-            etype[:num_real_edges] if num_real_edges else etype[:0],
-            num_nodes=num_nodes_padded,
-            block_nodes=block_nodes,
-            chunk_edges=chunk_edges,
+    if halo_graph is not None:
+        blocked_graph = halo_graph
+    elif blocked:
+        # Only REAL edges; the blocked layouts make their own masked padding.
+        real = (
+            src[:num_real_edges],
+            dst[:num_real_edges],
+            etype[:num_real_edges],
         )
+        if graph_shards > 1:
+            # Per-device layouts for the fused kernels under the mesh
+            # (``parallel/pallas_sharded.py``); the trainer attaches the
+            # mesh and placements after construction.
+            from relgat_projector_tpu.parallel.pallas_sharded import (
+                shard_blocked_graph,
+            )
+
+            blocked_graph = shard_blocked_graph(
+                *real,
+                num_nodes=num_nodes_padded,
+                num_shards=graph_shards,
+                block_nodes=block_nodes,
+                chunk_edges=chunk_edges,
+            )
+        else:
+            from relgat_projector_tpu.data.blocked import build_blocked_graph
+
+            blocked_graph = build_blocked_graph(
+                *real,
+                num_nodes=num_nodes_padded,
+                block_nodes=block_nodes,
+                chunk_edges=chunk_edges,
+            )
 
     return GraphData(
         src=jnp.asarray(src_p),

@@ -44,9 +44,17 @@ def load_native() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.isfile(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+        src_path = os.path.join(_NATIVE_DIR, "graphbuild.cpp")
+        stale = (
+            os.path.isfile(_LIB_PATH)
+            and os.path.isfile(src_path)
+            and os.path.getmtime(src_path) > os.path.getmtime(_LIB_PATH)
+        )
+        if (not os.path.isfile(_LIB_PATH) or stale) and os.path.isdir(
+            _NATIVE_DIR
+        ):
             subprocess.run(
-                ["make", "-s", "-C", _NATIVE_DIR],
+                ["make", "-s", "-B", "-C", _NATIVE_DIR],
                 check=True,
                 capture_output=True,
             )

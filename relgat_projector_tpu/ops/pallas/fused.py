@@ -109,9 +109,6 @@ def _fused_kernel(
         acc_s[:] = jnp.zeros_like(acc_s)
         b_s[:] = jnp.zeros_like(b_s)
 
-    if attn_dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0, 0] + c)
-
     # One all-heads relation-attention gather: [TE, R] @ [R, H*F].
     rel_att_all = jnp.dot(
         onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
@@ -149,20 +146,19 @@ def _fused_kernel(
         l_rows.append(l_new)
 
         # attention-weight dropout (reference ``layer.py:296-297``):
-        # applied to normalized weights -> to p in the numerator only.
+        # applied to normalized weights -> to p in the numerator only
+        # (denominator l keeps the un-dropped weights, matching dropout
+        # AFTER normalization). The mask hashes (seed, canonical edge id,
+        # head) — ``ops/dropout.py`` — so the src-blocked backward replays
+        # it bit-exactly from the seed alone.
         p_acc = p
         if attn_dropout_rate > 0.0:
-            # One sublane-padded draw per (chunk, head) -> independent masks
-            # for every head. NOTE: this in-kernel path is currently only
-            # reachable via fused_relgat_forward directly — the propagate
-            # dispatch routes dropout training through the XLA path because
-            # the hand-written backward does not replay the mask.
-            hp = -(-heads // 8) * 8
-            bits = pltpu.prng_random_bits((hp, te))       # uint32
-            thresh = jnp.uint32(
-                (1.0 - attn_dropout_rate) * 4294967295.0
+            from relgat_projector_tpu.ops.dropout import edge_keep_mask
+
+            eid = meta_ref[0, 3, :]                       # [TE]
+            keep = edge_keep_mask(
+                eid, h, seed_ref[0, 0], attn_dropout_rate
             )
-            keep = (bits[h, :] < thresh).astype(jnp.float32)
             p_acc = p * keep / (1.0 - attn_dropout_rate)
 
         w = onehot_d * p_acc[None, :]                     # [TD, TE]
@@ -305,8 +301,9 @@ def _bwd_src_kernel(
     ge_ref,      # [TE, H*F]   g gathered at dst per edge
     es_ref,      # [TE, 8*H]   per-edge stats: cols [0:H]=m, [H:2H]=l,
     #                           [2H:3H]=S, col 3H = gsum (sum_{h,f} g[dst])
-    meta_ref,    # [1, 8, TE]  (0=etype, 1=local_src, 2=mask)
+    meta_ref,    # [1, 8, TE]  (0=etype, 1=local_src, 2=mask, 3=edge id)
     attn_ref,    # [R, H*F]
+    seed_ref,    # [1, 1] int32 (attention-dropout hash seed)
     dh_ref,      # [TD, H*F]  (out, accumulated per src block)
     dattn_ref,   # [R, H*F]   (out, accumulated across the whole grid)
     dbias_ref,   # [R, 128]   (out, accumulated; column 0)
@@ -317,6 +314,7 @@ def _bwd_src_kernel(
     block_nodes: int,
     negative_slope: float,
     eps: float,
+    attn_dropout_rate: float,
     precision,
 ):
     c = pl.program_id(0)
@@ -364,11 +362,26 @@ def _bwd_src_kernel(
         e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
         alpha = jnp.exp(e_h - m_safe) / l_e * maskf       # [TE]
 
+        # Replay the forward's attention-dropout mask (hash of the seed +
+        # canonical edge id + head; see the forward kernel / ops/dropout.py).
+        # With dropped weights a~ = alpha * k: dps gets a~ * g, and
+        # dalpha -> k * <ps, g>; the softmax-backward sum S (computed from
+        # out·g, which already includes the dropout) is unchanged.
+        aw = alpha
         dalpha = jnp.sum(ps_h * g_h, axis=1)              # [TE]
+        if attn_dropout_rate > 0.0:
+            from relgat_projector_tpu.ops.dropout import edge_keep_mask
+
+            eid = meta_ref[0, 3, :]
+            k_e = edge_keep_mask(
+                eid, h, seed_ref[0, 0], attn_dropout_rate
+            ) / (1.0 - attn_dropout_rate)
+            aw = alpha * k_e
+            dalpha = dalpha * k_e
         de = alpha * (dalpha - s_e)
         de = de * jnp.where(eraw >= 0, 1.0, negative_slope)
 
-        contrib_cols.append(alpha[:, None] * g_h + de[:, None] * rel_att)
+        contrib_cols.append(aw[:, None] * g_h + de[:, None] * rel_att)
         deps_cols.append(de[:, None] * ps_h)
 
     contrib = jnp.concatenate(contrib_cols, axis=1)       # [TE, H*F]
@@ -406,6 +419,8 @@ def fused_relgat_backward_src(
     *,
     negative_slope: float = 0.2,
     eps: float = 1e-16,
+    attn_dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # int32 scalar
     precision=jax.lax.Precision.HIGHEST,
 ):
     """Returns ``(dh_blocks [NB*TD, H*F], dattn [H, R, F], dbias [R])``."""
@@ -416,6 +431,12 @@ def fused_relgat_backward_src(
     c = bs.num_chunks
 
     attn_flat = jnp.transpose(attn, (1, 0, 2)).reshape(num_rel, hf)
+    seed = jnp.reshape(
+        (dropout_seed if dropout_seed is not None else jnp.int32(0)).astype(
+            jnp.int32
+        ),
+        (1, 1),
+    )
 
     kernel = functools.partial(
         _bwd_src_kernel,
@@ -425,6 +446,7 @@ def fused_relgat_backward_src(
         block_nodes=td,
         negative_slope=negative_slope,
         eps=eps,
+        attn_dropout_rate=attn_dropout_rate,
         precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -441,6 +463,7 @@ def fused_relgat_backward_src(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
@@ -460,7 +483,8 @@ def fused_relgat_backward_src(
             jax.ShapeDtypeStruct((num_rel, 128), jnp.float32),
         ),
         interpret=_interpret(),
-    )(bs.chunk_block, ps_src, g_edge, edge_stats, bs.chunk_meta, attn_flat)
+    )(bs.chunk_block, ps_src, g_edge, edge_stats, bs.chunk_meta, attn_flat,
+      seed)
     dattn = jnp.transpose(dattn_flat.reshape(num_rel, heads, f), (1, 0, 2))
     return dh_blocks, dattn, dbias[:, 0]
 

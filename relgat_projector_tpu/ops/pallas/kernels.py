@@ -40,6 +40,7 @@ def _xla_reference(
         edges_sorted_by_dst=True,
         edge_mask=be.mask,
         use_pallas=False,
+        dropout_edge_ids=be.edge_of_slot,
     )
 
 
@@ -63,21 +64,24 @@ def _zero_cotangent(tree):
 
 
 def _make_propagate(
-    use_bias: bool, negative_slope: float, eps: float, precision
+    use_bias: bool, negative_slope: float, eps: float, precision,
+    attn_dropout_rate: float = 0.0,
 ):
     """Build the custom-VJP propagate for a given static configuration.
 
     The blocked layout rides through as a regular pytree argument (its
     arrays may be tracers under jit; its shape metadata is static), so this
     composes with jit/pjit — ``nondiff_argnums`` must not hold arrays.
+    ``seed`` is the int32 attention-dropout hash seed (``ops/dropout.py``);
+    the backward replays the identical mask from it.
     """
 
     @jax.custom_vjp
-    def prop(h, attn_bank, rel_bias, blocked):
-        out, _ = _fwd(h, attn_bank, rel_bias, blocked)
+    def prop(h, attn_bank, rel_bias, blocked, seed):
+        out, _ = _fwd(h, attn_bank, rel_bias, blocked, seed)
         return out
 
-    def _fwd(h, attn_bank, rel_bias, blocked):
+    def _fwd(h, attn_bank, rel_bias, blocked, seed):
         from relgat_projector_tpu.ops.pallas.fused import fused_relgat_forward
 
         be = blocked.by_dst
@@ -90,6 +94,7 @@ def _make_propagate(
             ps, be, attn_bank.astype(jnp.float32),
             rel_bias if use_bias else None,
             negative_slope=negative_slope, eps=eps, with_stats=True,
+            attn_dropout_rate=attn_dropout_rate, dropout_seed=seed,
             precision=precision,
         )
         agg = out_blocks[:num_nodes]
@@ -97,10 +102,10 @@ def _make_propagate(
         node_mask = jnp.repeat(be.block_nonempty, td)[:num_nodes]
         out = jnp.where(node_mask[:, None] > 0, agg, 0.0)
         out = out.reshape(num_nodes, heads, f)
-        return out, (h, attn_bank, rel_bias, out_blocks, stats)
+        return out, (h, attn_bank, rel_bias, out_blocks, stats, seed)
 
-    def _vjp_fwd(h, attn_bank, rel_bias, blocked):
-        out, res = _fwd(h, attn_bank, rel_bias, blocked)
+    def _vjp_fwd(h, attn_bank, rel_bias, blocked, seed):
+        out, res = _fwd(h, attn_bank, rel_bias, blocked, seed)
         return out, res + (blocked,)
 
     def _vjp_bwd(residuals, g):
@@ -108,29 +113,35 @@ def _make_propagate(
             fused_relgat_backward_src,
         )
 
-        h, attn_bank, rel_bias, out_blocks, stats, blocked = residuals
+        h, attn_bank, rel_bias, out_blocks, stats, seed, blocked = residuals
         bs = blocked.by_src
         heads, num_rel, f = attn_bank.shape
         td = bs.block_nodes
+        # Destination (output) node space and source (input) node space are
+        # distinct: identical on a single device, but under the graph-sharded
+        # mesh each shard owns a LOCAL dst range while gathering sources from
+        # the full (global) node space (``parallel/pallas_sharded.py``).
+        n_out = g.shape[0]
         n_pad = h.shape[0]
         hf = heads * f
 
         # Per-node backward statistics (tiny XLA work on [N, ...] arrays):
         # block rows tile nodes contiguously, so node n is stats row n.
-        g2 = g.astype(jnp.float32).reshape(n_pad, hf)
-        out2 = out_blocks[:n_pad]
-        bias_n = stats[:n_pad, 2, 0]                       # [N]
+        g2 = g.astype(jnp.float32).reshape(n_out, hf)
+        out2 = out_blocks[:n_out]
+        bias_n = stats[:n_out, 2, 0]                       # [N_out]
         # Softmax-backward sum: S_{n,h} = <out_n - bias_n, g_n> per head.
         s_nh = jnp.sum(
-            ((out2 - bias_n[:, None]) * g2).reshape(n_pad, heads, f), axis=2
-        )                                                  # [N, H]
-        m_n = stats[:n_pad, 0, :]                          # [N, H]
-        l_n = stats[:n_pad, 1, :]
-        gsum_n = jnp.sum(g2, axis=1)                       # [N]
+            ((out2 - bias_n[:, None]) * g2).reshape(n_out, heads, f), axis=2
+        )                                                  # [N_out, H]
+        m_n = stats[:n_out, 0, :]                          # [N_out, H]
+        l_n = stats[:n_out, 1, :]
+        gsum_n = jnp.sum(g2, axis=1)                       # [N_out]
 
         # ONE wide per-edge gather: pack g rows and the per-dst stats into a
         # single [N, HF + 8H] matrix first. Separate narrow-row stat gathers
-        # (16B rows) are pathologically slow on TPU.
+        # (16B rows) are pathologically slow on TPU. ``bs.dst`` indexes the
+        # dst (output) node space.
         dsts = bs.dst
         packed = jnp.concatenate(
             [
@@ -139,10 +150,10 @@ def _make_propagate(
                 l_n,
                 s_nh,
                 gsum_n[:, None],
-                jnp.zeros((n_pad, 5 * heads - 1), jnp.float32),
+                jnp.zeros((n_out, 5 * heads - 1), jnp.float32),
             ],
             axis=1,
-        )                                                  # [N, HF + 8H]
+        )                                                  # [N_out, HF + 8H]
         ge_all = jnp.take(packed, dsts, axis=0)
         g_edge = ge_all[:, :hf]
         edge_stats = ge_all[:, hf:]
@@ -150,7 +161,9 @@ def _make_propagate(
 
         dh_blocks, dattn, dbias = fused_relgat_backward_src(
             ps_src, g_edge, edge_stats, bs, attn_bank,
-            negative_slope=negative_slope, eps=eps, precision=precision,
+            negative_slope=negative_slope, eps=eps,
+            attn_dropout_rate=attn_dropout_rate, dropout_seed=seed,
+            precision=precision,
         )
         src_mask = jnp.repeat(bs.block_nonempty, td)[:n_pad]
         dh = jnp.where(
@@ -158,8 +171,12 @@ def _make_propagate(
         ).reshape(n_pad, heads, f).astype(h.dtype)
 
         drel = dbias if use_bias else jnp.zeros_like(rel_bias)
-        return dh, dattn.astype(attn_bank.dtype), drel, _zero_cotangent(
-            residuals[-1]
+        return (
+            dh,
+            dattn.astype(attn_bank.dtype),
+            drel,
+            _zero_cotangent(residuals[-1]),
+            _zero_cotangent(seed),
         )
 
     prop.defvjp(_vjp_fwd, _vjp_bwd)
@@ -177,10 +194,12 @@ _PRECISIONS = {
 
 @functools.lru_cache(maxsize=None)
 def _cached_propagate(
-    use_bias: bool, negative_slope: float, eps: float, precision: str
+    use_bias: bool, negative_slope: float, eps: float, precision: str,
+    attn_dropout_rate: float = 0.0,
 ):
     return _make_propagate(
-        use_bias, negative_slope, eps, _PRECISIONS[precision]
+        use_bias, negative_slope, eps, _PRECISIONS[precision],
+        attn_dropout_rate,
     )
 
 
@@ -199,22 +218,26 @@ def relgat_propagate_pallas(
     """Drop-in replacement for the XLA ``relgat_propagate`` using the fused
     Pallas kernels over the block-padded layout. ``kernel_precision``:
     "highest" (fp32-exact, reference parity), "high" (bf16x3, ~1e-6 rel) or
-    "default" (bf16, ~4e-3 rel) MXU passes."""
-    if attn_dropout_rate > 0.0 and dropout_rng is not None:
-        # The fused kernel's in-kernel PRNG mask cannot be replayed by the
-        # hand-written backward, so attention-dropout training steps take
-        # the differentiable XLA path (reference default rate is 0.0).
-        return _xla_reference(
-            h, attn_bank, rel_bias, blocked.by_dst, blocked.num_nodes,
-            negative_slope=negative_slope, eps=eps,
-            attn_dropout_rate=attn_dropout_rate, dropout_rng=dropout_rng,
-        )
+    "default" (bf16, ~4e-3 rel) MXU passes.
+
+    Attention dropout stays IN the fused kernels: the mask hashes
+    ``(seed, canonical edge id, head)`` (``ops/dropout.py``) so the
+    src-blocked backward replays it bit-exactly — the same mask the XLA
+    path derives for the same key, making the paths comparable."""
+    use_dropout = attn_dropout_rate > 0.0 and dropout_rng is not None
     use_bias = rel_bias is not None
     prop = _cached_propagate(
-        use_bias, float(negative_slope), float(eps), kernel_precision
+        use_bias, float(negative_slope), float(eps), kernel_precision,
+        float(attn_dropout_rate) if use_dropout else 0.0,
     )
     num_rel = attn_bank.shape[1]
     bias_arg = (
         rel_bias if use_bias else jnp.zeros((num_rel,), jnp.float32)
     )
-    return prop(h, attn_bank, bias_arg, blocked)
+    if use_dropout:
+        from relgat_projector_tpu.ops.dropout import seed_from_key
+
+        seed = seed_from_key(dropout_rng)
+    else:
+        seed = jnp.int32(0)
+    return prop(h, attn_bank, bias_arg, blocked, seed)

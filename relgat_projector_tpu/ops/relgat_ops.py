@@ -48,6 +48,7 @@ def relgat_propagate(
     use_pallas: bool = False,
     blocked=None,
     kernel_precision: str = "highest",
+    dropout_edge_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Return aggregated messages ``[N, H, F]``.
 
@@ -56,7 +57,49 @@ def relgat_propagate(
     ``-inf`` logits, so zero softmax weight and zero contribution); static
     shapes throughout (TPU requirement).
     """
+    if blocked is not None:
+        from relgat_projector_tpu.parallel.halo import (
+            HaloGraph,
+            halo_propagate,
+        )
+
+        if isinstance(blocked, HaloGraph):
+            # Boundary-only halo exchange over the graph-sharded mesh;
+            # works for both the XLA and the fused-Pallas local propagate.
+            return halo_propagate(
+                h,
+                attn_bank,
+                rel_bias,
+                blocked,
+                use_pallas=use_pallas,
+                negative_slope=negative_slope,
+                eps=eps,
+                attn_dropout_rate=attn_dropout_rate,
+                dropout_rng=dropout_rng,
+                kernel_precision=kernel_precision,
+            )
+
     if use_pallas and blocked is not None:
+        from relgat_projector_tpu.parallel.pallas_sharded import (
+            ShardedBlockedGraph,
+            pallas_sharded_propagate,
+        )
+
+        if isinstance(blocked, ShardedBlockedGraph):
+            # Fused kernels under the graph-sharded mesh: per-device blocked
+            # layouts inside shard_map (one dst range per device).
+            return pallas_sharded_propagate(
+                h,
+                attn_bank,
+                rel_bias,
+                blocked,
+                negative_slope=negative_slope,
+                eps=eps,
+                attn_dropout_rate=attn_dropout_rate,
+                dropout_rng=dropout_rng,
+                kernel_precision=kernel_precision,
+            )
+
         from relgat_projector_tpu.ops.pallas import relgat_propagate_pallas
 
         return relgat_propagate_pallas(
@@ -90,9 +133,25 @@ def relgat_propagate(
     )                                                      # [E, H]
 
     # Optional dropout on normalized attention weights (``layer.py:296-297``).
+    # The mask is a deterministic hash of (seed, canonical edge id, head)
+    # (``ops/dropout.py``) so the fused Pallas forward AND its hand-written
+    # backward replay the identical mask from the seed alone.
     if attn_dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_dropout_rate, alpha.shape)
-        alpha = jnp.where(keep, alpha / (1.0 - attn_dropout_rate), 0.0)
+        from relgat_projector_tpu.ops.dropout import (
+            edge_keep_mask_all_heads,
+            seed_from_key,
+        )
+
+        eids = (
+            dropout_edge_ids
+            if dropout_edge_ids is not None
+            else jnp.arange(src.shape[0], dtype=jnp.int32)
+        )
+        keep = edge_keep_mask_all_heads(
+            eids, alpha.shape[1], seed_from_key(dropout_rng),
+            attn_dropout_rate,
+        )
+        alpha = alpha * keep / (1.0 - attn_dropout_rate)
 
     msgs = proj_src * alpha[..., None]                     # [E, H, F]
     out = segment_sum(

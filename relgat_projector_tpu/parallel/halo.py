@@ -1,149 +1,384 @@
-"""Explicit edge-partitioned message passing with ``shard_map``.
+"""Boundary-only halo exchange: node-sharded message passing over the mesh.
 
-The graph analog of sequence/context parallelism (SURVEY.md §5.7): partition
-destination nodes into contiguous ranges, one per device on the ``graph``
-mesh axis; each device owns the edges pointing into its range (dst-sorted
-edges shard contiguously) and produces exactly its slice of the output.
+The graph analog of sequence/context parallelism (SURVEY.md §5.7): node
+features live SHARDED over the ``graph`` mesh axis end-to-end. Each device
+owns a contiguous range of ``rows_per_shard`` destination rows and the edges
+pointing into them. Per layer:
 
-Communication pattern (explicit, vs. the GSPMD path in ``sharded.py`` that
-lets XLA insert psums of full ``[N, ...]`` partials):
+1. every device gathers the rows its peers need from its OWN shard
+   (host-precomputed static ``send_idx``) and one ``all_to_all`` over ICI
+   delivers each device exactly its boundary (halo) source set — NOT the
+   full feature matrix (round-1's v1 replicated ``[N, H, F]`` per layer;
+   this exchanges ``G * halo_pair`` rows, which for partitioned/clustered
+   graphs is the boundary size, not N),
+2. each device runs the unmodified single-device propagate — the XLA
+   segment ops or the fused Pallas kernels (``ops/pallas``) — with edge
+   source ids rebased into the received halo buffer,
+3. destination ownership is exclusive, so outputs concatenate
+   (``out_specs P('graph')``): no reduction collective.
 
-- node features are replicated going in (frozen embeddings / previous-layer
-  activations) — the "halo" each device needs is the source set of its own
-  edges, which for arbitrary KGs is unbounded, so v1 exchanges the full
-  feature matrix once per layer (``all_gather`` when the input arrives
-  sharded); a boundary-only all-to-all is the planned refinement for
-  partitioned/clustered graphs,
-- each device runs the SAME single-device propagate (XLA or Pallas path) on
-  its local edge shard with dst indices rebased to its range,
-- outputs need NO reduction: destination ownership is exclusive, so the
-  result is simply the concatenation of per-device slices
-  (``out_specs P('graph')``) — this is the scaling win over psum.
+Differentiable end-to-end: the halo gather + ``all_to_all`` are plain JAX
+ops, so AD transposes them into the reverse exchange + scatter-add of the
+boundary cotangents automatically (again boundary-sized, not N-sized).
 
-Differentiable end-to-end (``shard_map`` transposes collectives).
+The reference has no distributed code of any kind to translate
+(``trainer/relgat_projector.py:261`` is a single ``.to(device)``); this
+subsystem is the TPU-native scale-out design mandated by SURVEY.md
+§2.3/§5.7/§5.8.
+
+Comm/compute overlap note: XLA schedules the all_to_all before the first
+gather of ``h_halo``; splitting local-source edges from remote-source edges
+to hide the exchange behind local aggregation requires flash-style (m, l)
+softmax-state merging across the two partial propagates — measured
+unnecessary at current scales (the exchange is boundary-sized), revisit for
+pod-scale graphs.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
 import numpy as np
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from relgat_projector_tpu.parallel.mesh import GRAPH_AXIS
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class PartitionedGraph:
-    """Edge shards by contiguous destination ranges, padded to equal size.
+class HaloGraph:
+    """Static halo-exchange plan + per-device edge layouts (leaves stacked
+    ``[G, ...]``; placed with ``P('graph')`` on the leading axis).
 
-    Leading axis = shard; padded edges point src/dst at the shard's last
-    padded row... they carry ``mask = 0`` and are excluded via the masked
-    softmax, so they contribute exactly zero.
+    ``send_idx[o, d, :]`` are owner ``o``'s local row ids to ship to dest
+    ``d`` (the diagonal ``o == d`` is unused — own rows are read directly).
+    The received buffer on ``d`` is ``[G, halo_pair, H*F]``; edge sources
+    index the concatenation ``[own rows (rows_per_shard) ++ halo buffer
+    (G * halo_pair)]``: ``src_halo < rows_per_shard`` hits local features,
+    otherwise ``rows_per_shard + o * halo_pair + slot``.
     """
 
-    src: jax.Array        # [G, E_sh] int32 (global node ids)
-    dst_local: jax.Array  # [G, E_sh] int32 (dst - shard_lo, in [0, rows))
-    etype: jax.Array      # [G, E_sh] int32
-    mask: jax.Array       # [G, E_sh] float32
-    num_shards: int = dataclasses.field(metadata={"static": True})
-    rows_per_shard: int = dataclasses.field(metadata={"static": True})
-    num_nodes: int = dataclasses.field(metadata={"static": True})
-    num_real_edges: int = dataclasses.field(metadata={"static": True})
+    send_idx: jax.Array    # [G, G, Hp] int32
+    src_halo: jax.Array    # [G, E_sh] int32 (halo-space source ids)
+    dst_local: jax.Array   # [G, E_sh] int32 (dst - g*rows, non-decreasing)
+    etype: jax.Array       # [G, E_sh] int32
+    mask: jax.Array        # [G, E_sh] float32 (1 = real edge)
+    # Optional per-device block-padded layouts for the fused Pallas kernels
+    # (by_dst over the local dst range, by_src over the HALO space).
+    blocked: object = None
+    num_shards: int = dataclasses.field(
+        default=1, metadata={"static": True}
+    )
+    rows_per_shard: int = dataclasses.field(
+        default=0, metadata={"static": True}
+    )
+    halo_pair: int = dataclasses.field(default=0, metadata={"static": True})
+    # Global padded node count == num_shards * rows_per_shard.
+    num_nodes: int = dataclasses.field(default=0, metadata={"static": True})
+    num_real_edges: int = dataclasses.field(
+        default=0, metadata={"static": True}
+    )
+    mesh: Optional[Mesh] = dataclasses.field(
+        default=None, metadata={"static": True}
+    )
+
+    def with_mesh(self, mesh: Mesh) -> "HaloGraph":
+        return dataclasses.replace(self, mesh=mesh)
+
+    def exchange_bytes_per_device(self, feat_bytes: int) -> int:
+        """Off-device bytes each device SENDS per layer per direction
+        (``feat_bytes`` = H*F*itemsize)."""
+        return (self.num_shards - 1) * self.halo_pair * feat_bytes
+
+    def replication_bytes_per_device(self, feat_bytes: int) -> int:
+        """What round-1's full-replication v1 shipped instead."""
+        g = self.num_shards
+        return (g - 1) * self.rows_per_shard * feat_bytes
 
 
-def partition_graph_by_dst(
+def build_halo_graph(
     src: np.ndarray,
     dst: np.ndarray,
     etype: np.ndarray,
-    num_nodes: int,
+    num_real_nodes: int,
     num_shards: int,
     *,
-    pad_multiple: int = 8,
-) -> PartitionedGraph:
-    """Build equal-size dst-range edge shards (host-side)."""
+    blocked: bool = False,
+    block_nodes: int = 128,
+    chunk_edges: int = 512,
+    edge_pad_multiple: int = 8,
+) -> HaloGraph:
+    """Host-side halo plan. Only REAL edges go in; per-shard layouts make
+    their own masked padding. Node space is padded to
+    ``num_shards * rows_per_shard`` (callers pad embeddings to
+    ``HaloGraph.num_nodes``)."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     etype = np.asarray(etype, np.int64)
-    e = src.shape[0]
+    g = int(num_shards)
 
-    rows = -(-num_nodes // num_shards)
-    rows = -(-rows // pad_multiple) * pad_multiple
-    shard_of = np.minimum(dst // rows, num_shards - 1)
-    counts = np.bincount(shard_of, minlength=num_shards)
-    e_sh = max(pad_multiple, int(-(-counts.max() // pad_multiple) * pad_multiple)) if e else pad_multiple
+    row_mult = block_nodes if blocked else 8
+    rows = _round_up(-(-(num_real_nodes + 1) // g), row_mult)
+    shard_of = np.minimum(dst // rows, g - 1)
 
-    src_s = np.zeros((num_shards, e_sh), np.int32)
-    dstl_s = np.zeros((num_shards, e_sh), np.int32)
-    et_s = np.zeros((num_shards, e_sh), np.int32)
-    mask_s = np.zeros((num_shards, e_sh), np.float32)
-    for g in range(num_shards):
-        sel = shard_of == g
-        n = int(sel.sum())
-        src_s[g, :n] = src[sel]
-        dstl_s[g, :n] = dst[sel] - g * rows
-        et_s[g, :n] = etype[sel]
-        mask_s[g, :n] = 1.0
+    # --- per-(dest, owner) boundary sets --------------------------------
+    # Own-shard sources (owner == dest) are read directly from the local
+    # feature rows — only true cross-shard boundaries ride the all_to_all.
+    per_shard = []
+    need = [[None] * g for _ in range(g)]
+    for d in range(g):
+        sel = shard_of == d
+        s_d, d_d, e_d = src[sel], dst[sel], etype[sel]
+        order = np.argsort(d_d, kind="stable")
+        s_d, d_d, e_d = s_d[order], d_d[order] - d * rows, e_d[order]
+        owners = s_d // rows
+        for o in range(g):
+            if o == d:
+                need[d][o] = np.zeros((0,), np.int64)
+            else:
+                need[d][o] = np.unique(s_d[owners == o] - o * rows)
+        per_shard.append((s_d, d_d, e_d, owners))
 
-    return PartitionedGraph(
-        src=jnp.asarray(src_s),
-        dst_local=jnp.asarray(dstl_s),
+    hp_mult = block_nodes if blocked else 8
+    hp = max(
+        hp_mult,
+        _round_up(
+            max(
+                (int(need[d][o].shape[0]) for d in range(g) for o in range(g)),
+                default=1,
+            ),
+            hp_mult,
+        ),
+    )
+
+    send_idx = np.zeros((g, g, hp), np.int32)
+    for d in range(g):
+        for o in range(g):
+            n = need[d][o].shape[0]
+            send_idx[o, d, :n] = need[d][o]
+
+    # --- per-shard edge arrays in halo space ----------------------------
+    e_sh = max(
+        edge_pad_multiple,
+        _round_up(
+            max((p[0].shape[0] for p in per_shard), default=1) or 1,
+            edge_pad_multiple,
+        ),
+    )
+    src_h = np.zeros((g, e_sh), np.int32)
+    dst_l = np.full((g, e_sh), rows - 1, np.int32)
+    et_s = np.zeros((g, e_sh), np.int32)
+    mask_s = np.zeros((g, e_sh), np.float32)
+    halo_src_per_shard = []
+    for d in range(g):
+        s_d, d_d, e_d, owners = per_shard[d]
+        n = s_d.shape[0]
+        # halo-space source id: local rows for own-shard sources, else
+        # rows + owner*hp + slot inside the owner's send list for d.
+        halo = np.zeros(n, np.int64)
+        for o in range(g):
+            m = owners == o
+            if not m.any():
+                continue
+            if o == d:
+                halo[m] = s_d[m] - d * rows
+            else:
+                halo[m] = rows + o * hp + np.searchsorted(
+                    need[d][o], s_d[m] - o * rows
+                )
+        halo_src_per_shard.append(halo)
+        src_h[d, :n] = halo
+        dst_l[d, :n] = d_d
+        et_s[d, :n] = e_d
+        mask_s[d, :n] = 1.0
+
+    blocked_graph = None
+    if blocked:
+        from relgat_projector_tpu.data.blocked import (
+            BlockedGraph,
+            _build_one,
+            pad_blocked_edges,
+        )
+
+        halo_n = rows + g * hp
+        per_dst, per_src = [], []
+        for d in range(g):
+            s_d, d_d, e_d, _ = per_shard[d]
+            h_d = halo_src_per_shard[d]
+            per_dst.append(
+                _build_one(d_d, h_d, d_d, e_d, rows, block_nodes,
+                           chunk_edges)
+            )
+            per_src.append(
+                _build_one(h_d, h_d, d_d, e_d, halo_n, block_nodes,
+                           chunk_edges)
+            )
+        cd = max(be.num_chunks for be in per_dst)
+        cs = max(be.num_chunks for be in per_src)
+        emax = max(
+            1,
+            max(int(np.asarray(be.slot_of_edge).shape[0]) for be in per_dst),
+        )
+        shards = []
+        for d in range(g):
+            bd = pad_blocked_edges(per_dst[d], cd, emax)
+            bsrc = pad_blocked_edges(per_src[d], cs, emax)
+            e_real = int(np.asarray(per_src[d].edge_of_slot).shape[0])
+            if int(np.asarray(per_dst[d].slot_of_edge).shape[0]) > 0:
+                perm = np.asarray(bd.slot_of_edge)[
+                    np.asarray(per_src[d].edge_of_slot)
+                ]
+                perm = np.concatenate(
+                    [perm, np.zeros(bsrc.num_slots - e_real, np.int64)]
+                )
+            else:
+                perm = np.zeros(bsrc.num_slots, np.int64)
+            shards.append(
+                BlockedGraph(
+                    by_dst=bd,
+                    by_src=bsrc,
+                    dst_slot_of_src_slot=jnp.asarray(perm.astype(np.int32)),
+                    num_nodes=rows,
+                )
+            )
+        blocked_graph = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *shards
+        )
+
+    return HaloGraph(
+        send_idx=jnp.asarray(send_idx),
+        src_halo=jnp.asarray(src_h),
+        dst_local=jnp.asarray(dst_l),
         etype=jnp.asarray(et_s),
         mask=jnp.asarray(mask_s),
-        num_shards=num_shards,
+        blocked=blocked_graph,
+        num_shards=g,
         rows_per_shard=rows,
-        num_nodes=int(num_nodes),
-        num_real_edges=int(e),
+        halo_pair=hp,
+        num_nodes=g * rows,
+        num_real_edges=int(src.shape[0]),
     )
 
 
-def edge_partitioned_propagate(
-    mesh: Mesh,
-    h: jax.Array,              # [N_any, H, F] node features (replicated)
+def place_halo_graph(mesh: Mesh, hg: HaloGraph) -> HaloGraph:
+    """Attach the mesh and put every per-shard leaf on its ``graph``-axis
+    row (replicated across ``data``)."""
+    sharding = NamedSharding(mesh, P(GRAPH_AXIS))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return dataclasses.replace(
+        hg,
+        send_idx=put(hg.send_idx),
+        src_halo=put(hg.src_halo),
+        dst_local=put(hg.dst_local),
+        etype=put(hg.etype),
+        mask=put(hg.mask),
+        blocked=(
+            jax.tree_util.tree_map(put, hg.blocked)
+            if hg.blocked is not None
+            else None
+        ),
+        mesh=mesh,
+    )
+
+
+def halo_propagate(
+    h: jax.Array,              # [G*rows, H, F] node features (node-sharded)
     attn_bank: jax.Array,      # [H, R, F]
     rel_bias: Optional[jax.Array],
-    pg: PartitionedGraph,
+    hg: HaloGraph,
     *,
+    use_pallas: bool = False,
     negative_slope: float = 0.2,
     eps: float = 1e-16,
+    attn_dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    kernel_precision: str = "highest",
 ) -> jax.Array:
-    """Returns ``[num_shards * rows_per_shard, H, F]`` aggregated messages
-    (node-sharded over the ``graph`` axis; slice ``[:N]`` for real rows).
-    """
-    from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
-
-    rows = pg.rows_per_shard
+    """Boundary-only halo-exchange propagate; returns the node-sharded
+    ``[G*rows, H, F]`` aggregate."""
+    if hg.mesh is None:
+        raise ValueError(
+            "HaloGraph has no mesh attached; call with_mesh()/"
+            "place_halo_graph() first"
+        )
+    mesh = hg.mesh
+    g, hp, rows = hg.num_shards, hg.halo_pair, hg.rows_per_shard
+    heads, num_rel, f = attn_bank.shape
+    hf = heads * f
     use_bias = rel_bias is not None
+    bias_arg = rel_bias if use_bias else jnp.zeros((num_rel,), jnp.float32)
+    use_dropout = attn_dropout_rate > 0.0 and dropout_rng is not None
+    rng_arg = dropout_rng if use_dropout else jax.random.PRNGKey(0)
+    run_pallas = use_pallas and hg.blocked is not None
 
-    def local_fn(h_full, src, dstl, et, mask, bias):
-        # Shapes inside: src/dstl/et/mask are [1, E_sh] (one shard).
-        out = relgat_propagate(
-            h_full,
-            attn_bank,
-            bias if use_bias else None,
-            src[0],
-            dstl[0],
-            et[0],
+    def local_fn(h_loc, attn, bias, rng, send_idx, sx, dl, et, mask,
+                 blocked):
+        # h_loc: [rows, H, F] — this device's owned feature rows.
+        h2 = h_loc.reshape(rows, hf)
+        send = jnp.take(
+            h2, send_idx[0].reshape(-1), axis=0
+        ).reshape(g, hp, hf)
+        halo = jax.lax.all_to_all(send, GRAPH_AXIS, 0, 0)  # [G, Hp, HF]
+        # Halo space = own rows ++ received boundary rows.
+        h_halo = jnp.concatenate(
+            [h2, halo.reshape(g * hp, hf)], axis=0
+        ).reshape(rows + g * hp, heads, f)
+
+        local_rng = None
+        if use_dropout:
+            local_rng = jax.random.fold_in(
+                rng, jax.lax.axis_index(GRAPH_AXIS)
+            )
+        if run_pallas:
+            from relgat_projector_tpu.ops.pallas.kernels import (
+                relgat_propagate_pallas,
+            )
+
+            local = jax.tree_util.tree_map(lambda x: x[0], blocked)
+            return relgat_propagate_pallas(
+                h_halo, attn, bias if use_bias else None, local,
+                negative_slope=negative_slope, eps=eps,
+                attn_dropout_rate=attn_dropout_rate if use_dropout else 0.0,
+                dropout_rng=local_rng,
+                kernel_precision=kernel_precision,
+            )
+        from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
+
+        return relgat_propagate(
+            h_halo, attn, bias if use_bias else None,
+            sx[0], dl[0], et[0],
             num_nodes=rows,
-            negative_slope=negative_slope,
-            eps=eps,
+            negative_slope=negative_slope, eps=eps,
+            attn_dropout_rate=attn_dropout_rate if use_dropout else 0.0,
+            dropout_rng=local_rng,
+            edges_sorted_by_dst=True,
             edge_mask=mask[0],
         )
-        return out  # [rows, H, F]
 
-    bias_arg = rel_bias if use_bias else jnp.zeros((attn_bank.shape[1],))
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
-                  P(GRAPH_AXIS), P()),
+        in_specs=(
+            P(GRAPH_AXIS), P(), P(), P(),
+            P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+            P(GRAPH_AXIS), P(GRAPH_AXIS),
+        ),
         out_specs=P(GRAPH_AXIS),
         check_vma=False,
     )
-    return fn(h, pg.src, pg.dst_local, pg.etype, pg.mask, bias_arg)
+    return fn(
+        h, attn_bank, bias_arg, rng_arg,
+        hg.send_idx, hg.src_halo, hg.dst_local, hg.etype, hg.mask,
+        hg.blocked,
+    )

@@ -39,14 +39,38 @@ def place_graph(mesh: Mesh, graph: GraphData) -> GraphData:
     """Shard the edge lists over the ``graph`` mesh axis.
 
     The dst-sorted layout means each shard holds a contiguous dst range —
-    exactly the partition the future halo-exchange kernel wants."""
+    exactly the partition the halo-exchange / per-device-Pallas paths use.
+    A sharded blocked layout (``parallel/pallas_sharded.py``) gets its mesh
+    attached and its per-shard leaves placed on their devices."""
+    from relgat_projector_tpu.parallel.halo import (
+        HaloGraph,
+        place_halo_graph,
+    )
+    from relgat_projector_tpu.parallel.pallas_sharded import (
+        ShardedBlockedGraph,
+        place_sharded_blocked,
+    )
+
+    blocked = graph.blocked
+    if isinstance(blocked, ShardedBlockedGraph):
+        blocked = place_sharded_blocked(mesh, blocked)
+    elif isinstance(blocked, HaloGraph):
+        blocked = place_halo_graph(mesh, blocked)
+
     edge_sharding = NamedSharding(mesh, P(GRAPH_AXIS))
     return dataclasses.replace(
         graph,
         src=jax.device_put(graph.src, edge_sharding),
         dst=jax.device_put(graph.dst, edge_sharding),
         etype=jax.device_put(graph.etype, edge_sharding),
+        blocked=blocked,
     )
+
+
+def place_node_features(mesh: Mesh, arr: jax.Array) -> jax.Array:
+    """Shard a ``[N, ...]`` node-feature matrix over the ``graph`` axis
+    (halo mode: features live node-sharded end-to-end)."""
+    return jax.device_put(arr, NamedSharding(mesh, P(GRAPH_AXIS)))
 
 
 def place_batch(mesh: Mesh, *arrays: jax.Array):

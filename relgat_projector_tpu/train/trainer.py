@@ -60,6 +60,19 @@ class RelGATTrainer:
         # Seed first so the split is reproducible (reference ``trainer:97-99``).
         self.seeder = RandomSeed(tc.seed)
 
+        # Graph-axis layout choice (ModelConfig.mesh_propagate):
+        # - "halo": node-sharded features + boundary-only all_to_all
+        #   (parallel/halo.py) — default, works for XLA and Pallas,
+        # - "replicated": replicated features, per-device blocked shards
+        #   (parallel/pallas_sharded.py) — Pallas only,
+        # - "gspmd": sharded edge lists, XLA-inserted psums (XLA only).
+        graph_axis = (
+            run_config.mesh.graph_axis
+            if run_config.mesh.num_devices > 1
+            else 1
+        )
+        mp = run_config.model.mesh_propagate
+        use_halo = graph_axis > 1 and mp == "halo"
         self.dataset = RelGATData(
             node2emb,
             rel2idx,
@@ -67,7 +80,18 @@ class RelGATTrainer:
             train_ratio=tc.train_ratio,
             seed=tc.seed,
             blocked=run_config.model.use_pallas,
+            graph_shards=(
+                graph_axis
+                if (
+                    graph_axis > 1
+                    and run_config.model.use_pallas
+                    and mp == "replicated"
+                )
+                else 1
+            ),
+            halo_shards=graph_axis if use_halo else 0,
         )
+        self._use_halo = use_halo
 
         # Derive data-dependent model dims.
         self.model_cfg = dataclasses.replace(
@@ -123,23 +147,28 @@ class RelGATTrainer:
         # Single-device configs skip placement entirely.
         self.mesh = None
         mesh_cfg = run_config.mesh
-        if mesh_cfg.num_devices > 1 and self.model_cfg.use_pallas:
-            raise ValueError(
-                "use_pallas + multi-chip mesh is not supported yet: the "
-                "fused kernels are single-chip ops. Use the XLA path "
-                "(use_pallas=False) for GSPMD meshes, or the shard_map "
-                "halo path (parallel.halo) for explicit edge partitioning."
-            )
         if mesh_cfg.num_devices > 1:
             from relgat_projector_tpu.parallel import (
                 make_mesh,
                 place_graph,
+                place_node_features,
                 place_replicated,
             )
 
+            if self.model_cfg.use_pallas and mp == "gspmd":
+                raise ValueError(
+                    "mesh_propagate='gspmd' has no Pallas partitioning; "
+                    "use 'halo' (default) or 'replicated' with use_pallas"
+                )
             self.mesh = make_mesh(mesh_cfg)
             self.state = place_replicated(self.mesh, self.state)
-            self.node_emb = place_replicated(self.mesh, self.node_emb)
+            # Halo mode keeps node features SHARDED over the graph axis
+            # end-to-end (boundary-only exchange per layer); otherwise the
+            # feature matrix is replicated.
+            if self._use_halo:
+                self.node_emb = place_node_features(self.mesh, self.node_emb)
+            else:
+                self.node_emb = place_replicated(self.mesh, self.node_emb)
             self.graph = place_graph(self.mesh, self.graph)
 
         self.steps_per_call = max(1, int(tc.steps_per_call))

@@ -1,5 +1,7 @@
-"""shard_map edge-partitioned propagate: parity with single-device and
-differentiability on the virtual 8-device CPU mesh."""
+"""Boundary-only halo exchange (parallel/halo.py): parity with the
+single-device propagate (XLA and Pallas local paths, forward AND grads),
+edge-coverage of the partition, the full trainer on the halo path, and the
+bytes-exchanged win over full-feature replication on a clustered graph."""
 
 import numpy as np
 import jax
@@ -7,88 +9,207 @@ import jax.numpy as jnp
 
 from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
 from relgat_projector_tpu.parallel import make_mesh
-from relgat_projector_tpu.parallel.halo import (
-    edge_partitioned_propagate,
-    partition_graph_by_dst,
-)
+from relgat_projector_tpu.parallel.halo import build_halo_graph, halo_propagate
 
 
-def _case(n=100, e=600, r=5, heads=3, f=16, seed=0):
+def _case(n=300, e=2000, r=5, heads=3, f=16, seed=0):
     rng = np.random.default_rng(seed)
     src = rng.integers(0, n, e).astype(np.int32)
     dst = rng.integers(0, n, e).astype(np.int32)
     et = rng.integers(0, r, e).astype(np.int32)
-    h = jnp.asarray(rng.standard_normal((n, heads, f)).astype(np.float32))
     attn = jnp.asarray(
         (rng.standard_normal((heads, r, f)) * 0.3).astype(np.float32)
     )
     bias = jnp.asarray((rng.standard_normal(r) * 0.1).astype(np.float32))
-    return src, dst, et, h, attn, bias, n
+    return src, dst, et, attn, bias, heads, f
 
 
-def test_partition_covers_all_edges():
-    src, dst, et, h, attn, bias, n = _case()
-    pg = partition_graph_by_dst(src, dst, et, n, num_shards=4)
-    assert pg.src.shape[0] == 4
-    m = np.asarray(pg.mask)
-    assert m.sum() == 600
-    # reconstruct global triplets
-    rows = pg.rows_per_shard
+def test_halo_partition_covers_all_edges():
+    src, dst, et, attn, bias, heads, f = _case()
+    hg = build_halo_graph(src, dst, et, 300, 4)
+    m = np.asarray(hg.mask)
+    assert m.sum() == src.shape[0]
+    # Reconstruct global triplets through the halo indirection.
+    rows, hp = hg.rows_per_shard, hg.halo_pair
+    send = np.asarray(hg.send_idx)
     got = []
-    for g in range(4):
-        sel = m[g] > 0
-        got += list(zip(
-            np.asarray(pg.src)[g][sel],
-            np.asarray(pg.dst_local)[g][sel] + g * rows,
-            np.asarray(pg.etype)[g][sel],
-        ))
+    for d in range(4):
+        sel = m[d] > 0
+        halo = np.asarray(hg.src_halo)[d][sel]
+        own = halo < rows
+        gsrc = np.zeros(halo.shape[0], np.int64)
+        gsrc[own] = halo[own] + d * rows
+        rem = halo[~own] - rows
+        owners, slots = rem // hp, rem % hp
+        gsrc[~own] = owners * rows + send[owners, d, slots]
+        gdst = np.asarray(hg.dst_local)[d][sel] + d * rows
+        got += list(zip(gsrc, gdst, np.asarray(hg.etype)[d][sel]))
     assert sorted(got) == sorted(zip(src, dst, et))
 
 
-def test_edge_partitioned_matches_single_device():
-    src, dst, et, h, attn, bias, n = _case()
-    want = np.asarray(relgat_propagate(
-        h, attn, bias, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
-        num_nodes=n,
-    ))
-
+def test_halo_propagate_matches_single_device_xla_and_pallas():
+    src, dst, et, attn, bias, heads, f = _case()
     mesh = make_mesh(data=2, graph=4)
-    pg = partition_graph_by_dst(src, dst, et, n, num_shards=4)
-    got = np.asarray(
-        edge_partitioned_propagate(mesh, h, attn, bias, pg)
-    )[:n]
+    for use_pallas, bn, ce in ((False, 128, 512), (True, 64, 128)):
+        hg = build_halo_graph(
+            src, dst, et, 300, 4, blocked=use_pallas,
+            block_nodes=bn, chunk_edges=ce,
+        ).with_mesh(mesh)
+        n_pad = hg.num_nodes
+        rng = np.random.default_rng(1)
+        h = jnp.asarray(
+            rng.standard_normal((n_pad, heads, f)).astype(np.float32)
+        )
+        want = np.asarray(relgat_propagate(
+            h, attn, bias, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(et), num_nodes=n_pad,
+        ))
+        got = np.asarray(
+            halo_propagate(h, attn, bias, hg, use_pallas=use_pallas)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        # no-bias variant
+        want2 = np.asarray(relgat_propagate(
+            h, attn, None, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(et), num_nodes=n_pad,
+        ))
+        got2 = np.asarray(
+            halo_propagate(h, attn, None, hg, use_pallas=use_pallas)
+        )
+        np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_gradients_match_single_device():
+    """data-axis-replicated grads must not double count (data=2)."""
+    src, dst, et, attn, bias, heads, f = _case(seed=3)
+    mesh = make_mesh(data=2, graph=4)
+    for use_pallas in (False, True):
+        hg = build_halo_graph(
+            src, dst, et, 300, 4, blocked=use_pallas,
+            block_nodes=64, chunk_edges=128,
+        ).with_mesh(mesh)
+        n_pad = hg.num_nodes
+        rng = np.random.default_rng(4)
+        h = jnp.asarray(
+            rng.standard_normal((n_pad, heads, f)).astype(np.float32)
+        )
+
+        def loss_sharded(h_, a_, b_):
+            return jnp.sum(jnp.sin(
+                halo_propagate(h_, a_, b_, hg, use_pallas=use_pallas)
+            ))
+
+        def loss_single(h_, a_, b_):
+            out = relgat_propagate(
+                h_, a_, b_, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray(et), num_nodes=n_pad,
+            )
+            return jnp.sum(jnp.sin(out))
+
+        gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(h, attn, bias)
+        g1 = jax.grad(loss_single, argnums=(0, 1, 2))(h, attn, bias)
+        for a, b in zip(gs, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+
+def test_halo_boundary_bytes_beat_replication_on_clustered_graph():
+    """On a partitioned (clustered) graph the halo exchange ships only the
+    boundary — the measurable proxy for the >=80% scaling target on this
+    1-chip image (VERDICT round 1, item 2)."""
+    rng = np.random.default_rng(0)
+    n, g = 4096, 4
+    rows = n // g
+    srcs, dsts, ets = [], [], []
+    for d in range(g):
+        e_local, e_remote = 4000, 200  # 5% cross-partition edges
+        lo = d * rows
+        dsts.append(rng.integers(lo, lo + rows, e_local + e_remote))
+        srcs.append(np.concatenate([
+            rng.integers(lo, lo + rows, e_local),           # intra-cluster
+            rng.integers(0, n, e_remote),                   # boundary
+        ]))
+        ets.append(rng.integers(0, 5, e_local + e_remote))
+    src = np.concatenate(srcs).astype(np.int32)
+    dst = np.concatenate(dsts).astype(np.int32)
+    et = np.concatenate(ets).astype(np.int32)
+
+    hg = build_halo_graph(src, dst, et, n, g)
+    feat_bytes = 4 * 16 * 4  # H=4, F=16, fp32
+    halo_b = hg.exchange_bytes_per_device(feat_bytes)
+    repl_b = hg.replication_bytes_per_device(feat_bytes)
+    # Boundary is ~200 rows/pair vs ~1024 rows/shard replicated.
+    assert halo_b * 2 < repl_b, (halo_b, repl_b)
+
+    # And the exchange is still exact: parity vs single device.
+    mesh = make_mesh(data=1, graph=4)
+    hg = hg.with_mesh(mesh)
+    h = jnp.asarray(
+        rng.standard_normal((hg.num_nodes, 4, 16)).astype(np.float32)
+    )
+    attn = jnp.asarray(
+        (rng.standard_normal((4, 5, 16)) * 0.3).astype(np.float32)
+    )
+    want = np.asarray(relgat_propagate(
+        h, attn, None, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
+        num_nodes=hg.num_nodes,
+    ))
+    got = np.asarray(halo_propagate(h, attn, None, hg))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
-    # no-bias variant
-    want2 = np.asarray(relgat_propagate(
-        h, attn, None, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
-        num_nodes=n,
-    ))
-    got2 = np.asarray(
-        edge_partitioned_propagate(mesh, h, attn, None, pg)
-    )[:n]
-    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-5)
 
+def test_trainer_halo_mesh_matches_single_device():
+    """Full trainer on the default halo mesh path (XLA + Pallas) == the
+    single-device trainer numerics."""
+    from relgat_projector_tpu.config import (
+        MeshConfig, ModelConfig, RunConfig, TrainConfig,
+    )
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.parallel.halo import HaloGraph
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
 
-def test_edge_partitioned_gradients():
-    src, dst, et, h, attn, bias, n = _case(seed=3)
-    mesh = make_mesh(data=1, graph=8)
-    pg = partition_graph_by_dst(src, dst, et, n, num_shards=8)
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=160, num_edges=1600, num_rel=4, emb_dim=16, seed=0
+    )
 
-    def loss_sharded(h_, a_, b_):
-        out = edge_partitioned_propagate(mesh, h_, a_, b_, pg)[:n]
-        return jnp.sum(jnp.sin(out))
-
-    def loss_single(h_, a_, b_):
-        out = relgat_propagate(
-            h_, a_, b_, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
-            num_nodes=n,
+    def build(mesh_cfg, use_pallas):
+        run = RunConfig(
+            model=ModelConfig(
+                in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+                gat_num_layers=2, dropout=0.0, project_to_input_size=True,
+                projection_layers=1, use_pallas=use_pallas,
+                mesh_propagate="halo",
+            ),
+            train=TrainConfig(
+                epochs=1, train_batch_size=64, eval_batch_size=64,
+                num_neg=4, lr=1e-3, lr_scheduler="constant",
+                warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
+                log_every_n_steps=10_000,
+                out_dir="/tmp/relgat-halo-mesh-test",
+            ),
+            mesh=mesh_cfg,
         )
-        return jnp.sum(jnp.sin(out))
-
-    gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(h, attn, bias)
-    g1 = jax.grad(loss_single, argnums=(0, 1, 2))(h, attn, bias)
-    for a, b in zip(gs, g1):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        return RelGATTrainer(
+            run, node2emb, rel2idx, triplets, log_to_console=False
         )
+
+    for use_pallas in (False, True):
+        t1 = build(MeshConfig(data_axis=1, graph_axis=1), use_pallas)
+        t2 = build(MeshConfig(data_axis=2, graph_axis=4), use_pallas)
+        assert t2.mesh is not None
+        assert isinstance(t2.graph.blocked, HaloGraph)
+
+        t1._single_epoch(1, 1)
+        t2._single_epoch(1, 1)
+        m1 = t1.evaluate()
+        m2 = t2.evaluate()
+        np.testing.assert_allclose(m1[0], m2[0], rtol=1e-4)  # MRR
+        np.testing.assert_allclose(m1[2], m2[2], rtol=1e-4)  # loss
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t1.state.params),
+            jax.tree_util.tree_leaves(t2.state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
+            )
