@@ -133,6 +133,25 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="train steps per jitted dispatch (lax.scan); >1 "
                         "amortizes per-call overhead on small graphs")
 
+    # Multi-chip / multi-host (no reference counterpart — SURVEY §2.3/§5.8)
+    p.add_argument("--mesh-data", dest="mesh_data", type=int, default=1,
+                   help="devices on the 'data' (DP) mesh axis")
+    p.add_argument("--mesh-graph", dest="mesh_graph", type=int, default=1,
+                   help="devices on the 'graph' (edge-partition) mesh axis")
+    p.add_argument("--mesh-propagate", dest="mesh_propagate",
+                   choices=["halo", "replicated", "gspmd"], default="halo",
+                   help="graph-axis strategy: boundary-only halo exchange "
+                        "(default), replicated features + per-device "
+                        "kernels, or GSPMD psums")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() before training "
+                        "(multi-host; auto-detected on TPU pods)")
+    p.add_argument("--coordinator-address", dest="coordinator_address",
+                   type=str, default=None)
+    p.add_argument("--num-processes", dest="num_processes", type=int,
+                   default=None)
+    p.add_argument("--process-id", dest="process_id", type=int, default=None)
+
     return p.parse_args(argv)
 
 
@@ -181,6 +200,7 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         use_pallas=args.use_pallas,
         kernel_precision=args.kernel_precision,
         remat=args.remat,
+        mesh_propagate=args.mesh_propagate,
     )
     train = TrainConfig(
         epochs=args.epochs,
@@ -215,7 +235,9 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
     return RunConfig(
         model=model,
         train=train,
-        mesh=MeshConfig(),
+        mesh=MeshConfig(
+            data_axis=args.mesh_data, graph_axis=args.mesh_graph
+        ),
         architecture_name=args.architecture,
         run_name=args.run_name,
     )
@@ -223,6 +245,19 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
 
 def main(argv=None) -> None:
     args = get_args(argv)
+
+    # Multi-host bring-up FIRST — before any other JAX API touches the
+    # backend (parallel/distributed.py).
+    if args.distributed or args.num_processes is not None:
+        from relgat_projector_tpu.parallel import initialize_distributed
+
+        rank = initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(f"jax.distributed initialized (process {rank})")
+
     run_config = build_run_config(args)
 
     if args.synthetic:

@@ -309,6 +309,11 @@ def make_eval_step(
             "mrr_sum": mrr * n,
             "pos_score_mean": fwd["pos_score_mean"],
             "neg_score_mean": fwd["neg_score_mean"],
+            # Example-weighted contributions so the host can aggregate the
+            # full reference eval namespace (``trainer:323-376``, SURVEY
+            # §5.5): eval/pos_score_mean, eval/neg_score_mean.
+            "pos_score_mean_sum": fwd["pos_score_mean"] * n,
+            "neg_score_mean_sum": fwd["neg_score_mean"] * n,
             "nonfinite_scores": fwd["nonfinite_scores"],
             **{f"hits@{k}_sum": v * n for k, v in hits.items()},
         }

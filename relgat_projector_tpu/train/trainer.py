@@ -185,7 +185,15 @@ class RelGATTrainer:
             )
         self._eval_step = make_eval_step(self.model_cfg, tc)
 
-        # Loop bookkeeping (parity with reference fields).
+        # Loop bookkeeping (parity with reference fields). Two counters:
+        # - dispatch_step: host-side count of DISPATCHED train steps —
+        #   exact without device syncs, drives all log/eval/save cadence
+        #   (deterministic even when steps skip on non-finite losses),
+        # - global_step: the device's finite-step counter (reference
+        #   semantics — skipped steps don't count, ``trainer:457,476``),
+        #   reconciled from the device at sync points and used for
+        #   reporting and checkpoint naming.
+        self.dispatch_step = 0
         self.global_step = 0
         self.training_should_stop = False
         self.eval_every_n_steps = (
@@ -231,6 +239,7 @@ class RelGATTrainer:
             return False
         self.state = self.storage.load_checkpoint(target, self.state)
         self.global_step = int(self.state.step)
+        self.dispatch_step = self.global_step
         print(f"Resumed from {target} at step {self.global_step}")
         return True
 
@@ -241,6 +250,7 @@ class RelGATTrainer:
         ks = tuple(ks) if ks else self.eval_ks_ranks
         sums: Dict[str, float] = {}
         n_total = 0.0
+        nonfinite_total = 0
         eval_rng = jax.random.fold_in(self.state.rng, 2**30)
         for bi, batch in enumerate(
             self.dataset.eval_batches(self.train_cfg.eval_batch_size)
@@ -253,10 +263,41 @@ class RelGATTrainer:
                 jax.random.fold_in(eval_rng, bi),
             )
             out = jax.device_get(out)
-            n_total += float(out["n_examples"])
+            n_b = float(out["n_examples"])
+            n_total += n_b
             for k, v in out.items():
                 if k.endswith("_sum"):
                     sums[k] = sums.get(k, 0.0) + float(v)
+
+            # Per-batch eval metric logging, reference ``trainer:323-351``
+            # (same fixed global step; the device_get above already paid
+            # the sync).
+            batch_metrics = {
+                "eval/pos_score_mean": float(out["pos_score_mean"]),
+                "eval/neg_score_mean": float(out["neg_score_mean"]),
+            }
+            denom_b = max(1.0, n_b)
+            if "cosine_pos_sum" in out:
+                batch_metrics["eval/cosine_mean_batch_pos"] = (
+                    float(out["cosine_pos_sum"]) / denom_b
+                )
+            if "cosine_neg_sum" in out:
+                batch_metrics["eval/cosine_mean_batch_neg"] = (
+                    float(out["cosine_neg_sum"]) / denom_b
+                )
+            if "mse_sum" in out:
+                batch_metrics["eval/mse_mean_batch"] = (
+                    float(out["mse_sum"]) / denom_b
+                )
+            nf = int(out["nonfinite_scores"])
+            if nf:
+                # Reference logs the counter only when nonzero
+                # (``trainer:578-585``).
+                batch_metrics["eval/nonfinite_scores"] = nf
+                nonfinite_total += nf
+            self.log_adapter.log_metrics(
+                metrics=batch_metrics, step=self.global_step
+            )
 
         n = max(1.0, n_total)
         avg_mrr = sums.get("mrr_sum", 0.0) / n
@@ -269,6 +310,14 @@ class RelGATTrainer:
             sums["cosine_neg_sum"] / n if "cosine_neg_sum" in sums else None
         )
         avg_mse = sums["mse_sum"] / n if "mse_sum" in sums else None
+        # Aggregates beyond the reference's return tuple, consumed by
+        # _run_eval_and_maybe_early_stop for the eval/* namespace.
+        self._last_eval_extra = {
+            "eval/pos_score_mean": sums.get("pos_score_mean_sum", 0.0) / n,
+            "eval/neg_score_mean": sums.get("neg_score_mean_sum", 0.0) / n,
+        }
+        if nonfinite_total:
+            self._last_eval_extra["eval/nonfinite_scores"] = nonfinite_total
         return avg_mrr, avg_hits, avg_loss, avg_cos_pos, avg_cos_neg, avg_mse
 
     # ------------------------------------------------------------------
@@ -311,11 +360,12 @@ class RelGATTrainer:
                 self.graph,
                 *self._device_batch(batch),
             )
+            self.dispatch_step += 1
             self.global_step += 1
             n_valid = float(batch.weight.sum())
             pending.append((step_in_epoch, metrics, n_valid, step_start))
 
-            if self.global_step % self.log_adapter.log_every_n_steps == 0:
+            if self.dispatch_step % self.log_adapter.log_every_n_steps == 0:
                 running_loss, running_examples = self._flush_logs(
                     epoch, pending, running_loss, running_examples
                 )
@@ -323,7 +373,7 @@ class RelGATTrainer:
 
             if (
                 self.eval_every_n_steps is not None
-                and self.global_step % self.eval_every_n_steps == 0
+                and self.dispatch_step % self.eval_every_n_steps == 0
             ):
                 if self._run_eval_and_maybe_early_stop(epoch=epoch):
                     self.training_should_stop = True
@@ -350,7 +400,7 @@ class RelGATTrainer:
             )
 
         last_log_time = time.time()
-        last_log_step = self.global_step
+        last_log_step = self.dispatch_step
         for lo in range(0, len(batches), s):
             group = batches[lo : lo + s]
             src_s = jnp.asarray(np.stack([b.src for b in group]))
@@ -367,18 +417,18 @@ class RelGATTrainer:
                 self.state, self.node_emb, self.graph, src_s, rel_s, dst_s,
                 w_s,
             )
-            self.global_step += s
+            self.dispatch_step += s
 
             if (
-                self.global_step % self.log_adapter.log_every_n_steps
+                self.dispatch_step % self.log_adapter.log_every_n_steps
                 < s
             ):
                 m = jax.device_get(metrics)
                 now = time.time()
                 window = now - last_log_time
-                steps_in_window = max(1, self.global_step - last_log_step)
+                steps_in_window = max(1, self.dispatch_step - last_log_step)
                 last_log_time = now
-                last_log_step = self.global_step
+                last_log_step = self.dispatch_step
                 finite = np.asarray(m["finite"])
                 losses = np.asarray(m["loss"])
                 avg_loss = (
@@ -422,18 +472,24 @@ class RelGATTrainer:
                 nonfinite = int((~finite).sum())
                 if nonfinite:
                     log["train/nonfinite_loss_steps"] = nonfinite
+                # Reconcile the finite-step counter (reference semantics:
+                # skipped steps don't count) — display only; cadence stays
+                # on dispatch_step, so skips cannot drift it.
+                self.global_step = int(self.state.step)
                 print(
                     f"\nGlobal step {self.global_step} "
                     f"loss_step: {avg_loss:.8f} "
                     f"lr: {log['train/lr']:.8f}"
                 )
                 self.log_adapter.log_metrics(metrics=log, step=self.global_step)
-                self.global_step = int(self.state.step)
 
             if (
                 self.eval_every_n_steps is not None
-                and self.global_step % self.eval_every_n_steps < s
+                and self.dispatch_step % self.eval_every_n_steps < s
             ):
+                # Eval syncs the device anyway; reconcile the finite-step
+                # counter first so eval logs/checkpoints carry it.
+                self.global_step = int(self.state.step)
                 if self._run_eval_and_maybe_early_stop(epoch=epoch):
                     self.training_should_stop = True
                     return
@@ -516,6 +572,7 @@ class RelGATTrainer:
             self.eval_ks_ranks
         )
         metrics = {"epoch": epoch, "eval/loss": eval_loss, "eval/mrr": mrr}
+        metrics.update(getattr(self, "_last_eval_extra", {}))
         if cos_pos is not None:
             metrics["eval/cosine_pos"] = cos_pos
         if cos_neg is not None:
@@ -542,9 +599,12 @@ class RelGATTrainer:
 
         if improved:
             self.best_metric_value = metric_value
+            # Save gating on the DISPATCH counter (deterministic under
+            # non-finite skips); checkpoint names carry the finite
+            # global_step (reference naming, ``trainer:728-729``).
             if (
                 self.storage.save_every_n_steps is not None
-                and self.global_step % self.storage.save_every_n_steps == 0
+                and self.dispatch_step % self.storage.save_every_n_steps == 0
             ):
                 self.best_ckpt_dir = f"best_checkpoint_{self.global_step}"
                 self._save_checkpoint(subdir=self.best_ckpt_dir)

@@ -21,6 +21,7 @@ setup(
             # Parity with reference setup.py:50-54.
             "relgat-projector-train=relgat_projector_tpu.cli:main",
             "relgat-projector-export=relgat_projector_tpu.export:main",
+            "relgat-projector-import-torch=relgat_projector_tpu.interop:main",
         ]
     },
 )

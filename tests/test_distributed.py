@@ -1,0 +1,124 @@
+"""Multi-process jax.distributed bring-up (SURVEY §4 item 4, §5.8):
+two real OS processes on the CPU backend form a process group through
+``initialize_distributed`` and run one cross-process psum. Also: the CLI
+end-to-end with mesh flags on the virtual 8-device mesh (VERDICT item 5).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from relgat_projector_tpu.parallel import initialize_distributed, is_primary
+
+coord, rank = sys.argv[1], int(sys.argv[2])
+got_rank = initialize_distributed(
+    coordinator_address=coord, num_processes=2, process_id=rank
+)
+assert got_rank == rank, (got_rank, rank)
+assert jax.device_count() == 2, jax.device_count()
+assert jax.local_device_count() == 1
+assert is_primary() == (rank == 0)
+
+import jax.numpy as jnp
+
+# One cross-process collective: psum over the 2-device global axis.
+out = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
+    jnp.ones((1,)) * (rank + 1.0)
+)
+total = float(out[0])
+assert total == 3.0, total
+print(f"RANK{rank}_OK total={total}")
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_psum():
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, coord, str(rank)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for rank, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"RANK{rank}_OK total=3.0" in out, out
+
+
+def test_cli_with_mesh_flags_end_to_end(tmp_path):
+    """`relgat-projector-train --mesh-data 4 --mesh-graph 2` trains on the
+    virtual mesh (previously MeshConfig was unreachable from the CLI)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    from relgat_projector_tpu import cli
+
+    out_dir = str(tmp_path / "ckpt")
+    cli.main([
+        "--synthetic", "--synthetic-nodes", "200", "--synthetic-edges",
+        "1500", "--synthetic-rels", "4", "--synthetic-dim", "16",
+        "--epochs", "1", "--batch-size", "64", "--num-neg", "4",
+        "--gat-out-dim", "8", "--heads", "2", "--gat-num-layers", "1",
+        "--project-to-input-size", "--projection-layers", "1",
+        "--lr", "1e-3", "--lr-scheduler", "constant",
+        "--mesh-data", "4", "--mesh-graph", "2",
+        "--save-dir", out_dir, "--log-every-n-steps", "1000",
+    ])
+    saved = os.listdir(out_dir)
+    assert any("relgat" in d for d in saved), saved
+    # And the Pallas + halo combination through the CLI as well.
+    out_dir2 = str(tmp_path / "ckpt2")
+    cli.main([
+        "--synthetic", "--synthetic-nodes", "200", "--synthetic-edges",
+        "1500", "--synthetic-rels", "4", "--synthetic-dim", "16",
+        "--epochs", "1", "--batch-size", "64", "--num-neg", "4",
+        "--gat-out-dim", "8", "--heads", "2", "--gat-num-layers", "1",
+        "--project-to-input-size", "--projection-layers", "1",
+        "--lr", "1e-3", "--lr-scheduler", "constant", "--use-pallas",
+        "--mesh-data", "2", "--mesh-graph", "4",
+        "--save-dir", out_dir2, "--log-every-n-steps", "1000",
+    ])
+    assert any("relgat" in d for d in os.listdir(out_dir2))
+
+
+def test_mesh_config_reaches_trainer_from_cli_args():
+    from relgat_projector_tpu import cli
+
+    args = cli.get_args([
+        "--synthetic", "--mesh-data", "2", "--mesh-graph", "4",
+        "--mesh-propagate", "replicated",
+    ])
+    run = cli.build_run_config(args)
+    assert run.mesh.data_axis == 2
+    assert run.mesh.graph_axis == 4
+    assert run.mesh.num_devices == 8
+    assert run.model.mesh_propagate == "replicated"

@@ -272,3 +272,120 @@ def test_cli_synthetic_smoke(tmp_path):
     ])
     dirs = os.listdir(tmp_path)
     assert any(d.startswith("relgat_scorer-distmult") for d in dirs)
+
+
+def test_eval_metric_namespace_superset_of_reference():
+    """The logged eval/* keys must cover the reference's eval namespace
+    (reference ``trainer/relgat_projector.py:323-376``, SURVEY §5.5)."""
+    from relgat_projector_tpu.config import ModelConfig, RunConfig, TrainConfig
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=120, num_edges=900, num_rel=4, emb_dim=16, seed=0
+    )
+    run = RunConfig(
+        model=ModelConfig(
+            in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+            gat_num_layers=1, dropout=0.0, project_to_input_size=True,
+            projection_layers=1,
+        ),
+        train=TrainConfig(
+            epochs=1, train_batch_size=64, eval_batch_size=64, num_neg=4,
+            lr=1e-3, lr_scheduler="constant", warmup_steps=0,
+            eval_ks_ranks=(1, 2), seed=3, log_every_n_steps=10_000,
+            out_dir="/tmp/relgat-evalns-test",
+        ),
+    )
+    t = RelGATTrainer(run, node2emb, rel2idx, triplets, log_to_console=False)
+
+    logged = {}
+    orig = t.log_adapter.log_metrics
+    t.log_adapter.log_metrics = (
+        lambda metrics, step=None: logged.update(metrics)
+    )
+    try:
+        t._run_eval_and_maybe_early_stop(epoch=1)
+    finally:
+        t.log_adapter.log_metrics = orig
+
+    reference_namespace = {
+        "eval/loss", "eval/mrr", "eval/hits@1", "eval/hits@2",
+        "eval/cosine_pos", "eval/cosine_neg", "eval/mse",
+        "eval/pos_score_mean", "eval/neg_score_mean",
+        "eval/cosine_mean_batch_pos", "eval/cosine_mean_batch_neg",
+        "eval/mse_mean_batch",
+    }
+    missing = reference_namespace - set(logged)
+    assert not missing, f"missing eval keys: {missing}"
+
+
+def test_scanned_cadence_under_nonfinite_skips():
+    """Eval/save cadence must not drift when steps skip on non-finite
+    losses in scanned mode (VERDICT round-1 weak #5): cadence counts
+    DISPATCHED steps; the device finite-step counter feeds reporting only."""
+    from relgat_projector_tpu.config import ModelConfig, RunConfig, TrainConfig
+    from relgat_projector_tpu.data.dataset import Batch
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=200, num_edges=2400, num_rel=4, emb_dim=16, seed=0
+    )
+    run = RunConfig(
+        model=ModelConfig(
+            in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+            gat_num_layers=1, dropout=0.0, project_to_input_size=True,
+            projection_layers=1,
+        ),
+        train=TrainConfig(
+            epochs=2, train_batch_size=64, eval_batch_size=64, num_neg=4,
+            lr=1e-3, lr_scheduler="constant", warmup_steps=0,
+            eval_ks_ranks=(1, 2), seed=3, log_every_n_steps=4,
+            eval_every_n_steps=8, steps_per_call=4,
+            out_dir="/tmp/relgat-cadence-test",
+        ),
+    )
+    t = RelGATTrainer(run, node2emb, rel2idx, triplets, log_to_console=False)
+    assert t._scan_step is not None
+
+    # Inject non-finite losses: poison the weight vector of every 4th
+    # batch with +inf (keeps the batch ACTIVE — sum(w) > 0 — while making
+    # the loss non-finite -> jitted skip-select, no step count).
+    orig_batches = list(t.dataset.train_batches(64))
+    n_batches = len(orig_batches)
+
+    def poisoned(bs):
+        for i, b in enumerate(orig_batches):
+            if i % 4 == 1:
+                w = b.weight.copy()
+                w[0] = np.inf
+                yield Batch(src=b.src, rel=b.rel, dst=b.dst, weight=w)
+            else:
+                yield b
+
+    t.dataset.train_batches = poisoned
+
+    evals = []
+    orig_eval = t.evaluate
+    t.evaluate = lambda ks=None: (
+        evals.append(t.dispatch_step) or orig_eval(ks)
+    )
+
+    t.train(epochs=2)
+
+    # Scan grouping pads each epoch's batch list to a multiple of
+    # steps_per_call with zero-weight no-ops; those count as dispatches.
+    padded_per_epoch = -(-n_batches // 4) * 4
+    total_dispatch = 2 * padded_per_epoch
+    assert t.dispatch_step == total_dispatch, (
+        t.dispatch_step, total_dispatch
+    )
+    # Every 8 dispatched steps -> eval fired exactly dispatch/8 times,
+    # drift-free despite the skips.
+    assert len(evals) == total_dispatch // 8, (evals, total_dispatch)
+    assert evals == [8 * (i + 1) for i in range(len(evals))], evals
+    # The finite counter excludes the poisoned steps AND the pad no-ops.
+    skipped = sum(1 for i in range(n_batches) if i % 4 == 1) * 2
+    assert int(t.state.step) == 2 * n_batches - skipped
+    assert int(t.state.nonfinite_steps) == skipped
