@@ -74,7 +74,8 @@ def _make_inputs(cfg_d, seed=0):
 
 
 def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
-              kernel_precision="highest", td=128, te=512):
+              kernel_precision="highest", td=128, te=512,
+              steps_per_call=1):
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +87,10 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
         create_train_state,
         make_optimizer,
     )
-    from relgat_projector_tpu.train.step import make_train_step
+    from relgat_projector_tpu.train.step import (
+        make_scan_train_step,
+        make_train_step,
+    )
 
     src, dst, et, emb, bs, br, bd = _make_inputs(cfg_d)
     graph = build_graph(
@@ -120,7 +124,6 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
     optimizer = make_optimizer(tcfg, schedule)
     params = init_model(jax.random.PRNGKey(0), mcfg)
     state = create_train_state(params, optimizer, jax.random.PRNGKey(1))
-    step_fn = make_train_step(mcfg, tcfg, optimizer, schedule)
 
     args = (
         jnp.asarray(bs), jnp.asarray(br), jnp.asarray(bd),
@@ -129,15 +132,35 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
     # NOTE: synchronize with a host transfer (float()), not
     # block_until_ready — the latter is a no-op on this image's experimental
     # PJRT platform and yields fantasy timings.
-    for _ in range(warmup):
-        state, metrics = step_fn(state, node_emb, graph, *args)
-    float(metrics["loss"])
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step_fn(state, node_emb, graph, *args)
-    float(metrics["loss"])
-    elapsed = time.perf_counter() - t0
+    if steps_per_call > 1:
+        # Production dispatch mode (trainer steps_per_call / lax.scan):
+        # amortizes this image's per-dispatch relay overhead (~50 ms/call;
+        # see BENCH_NOTES.md) exactly as real training does.
+        s = steps_per_call
+        scan_fn = make_scan_train_step(mcfg, tcfg, optimizer, schedule, s)
+        sargs = tuple(
+            jnp.broadcast_to(a, (s,) + a.shape) for a in args
+        )
+        for _ in range(max(1, warmup // s)):
+            state, metrics = scan_fn(state, node_emb, graph, *sargs)
+        float(metrics["loss"][-1])
+        n_calls = max(1, steps // s)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, metrics = scan_fn(state, node_emb, graph, *sargs)
+        float(metrics["loss"][-1])
+        elapsed = time.perf_counter() - t0
+        steps = n_calls * s
+    else:
+        step_fn = make_train_step(mcfg, tcfg, optimizer, schedule)
+        for _ in range(warmup):
+            state, metrics = step_fn(state, node_emb, graph, *args)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step_fn(state, node_emb, graph, *args)
+        float(metrics["loss"])
+        elapsed = time.perf_counter() - t0
 
     edge_messages = cfg_d["num_edges"] * cfg_d["gat_num_layers"] * steps
     return edge_messages / elapsed, elapsed / steps
@@ -255,6 +278,10 @@ def main():
                     help="dst-block rows in the blocked layout")
     ap.add_argument("--te", type=int, default=512,
                     help="edge-chunk size in the blocked layout")
+    ap.add_argument("--steps-per-call", dest="steps_per_call", type=int,
+                    default=8,
+                    help="train steps per jitted dispatch (lax.scan), the "
+                         "trainer's production mode; 1 = per-step dispatch")
     args = ap.parse_args()
 
     cfg_d = BENCH_SMALL if args.small else BENCH
@@ -279,6 +306,7 @@ def main():
     eps, spt = bench_jax(
         cfg_d, steps=args.steps, use_pallas=args.use_pallas,
         kernel_precision=args.kernel_precision, td=args.td, te=args.te,
+        steps_per_call=args.steps_per_call,
     )
     print(
         json.dumps(

@@ -138,6 +138,8 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="devices on the 'data' (DP) mesh axis")
     p.add_argument("--mesh-graph", dest="mesh_graph", type=int, default=1,
                    help="devices on the 'graph' (edge-partition) mesh axis")
+    p.add_argument("--mesh-model", dest="mesh_model", type=int, default=1,
+                   help="devices on the 'model' (head-TP) mesh axis")
     p.add_argument("--mesh-propagate", dest="mesh_propagate",
                    choices=["halo", "replicated", "gspmd"], default="halo",
                    help="graph-axis strategy: boundary-only halo exchange "
@@ -236,7 +238,9 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         model=model,
         train=train,
         mesh=MeshConfig(
-            data_axis=args.mesh_data, graph_axis=args.mesh_graph
+            data_axis=args.mesh_data,
+            graph_axis=args.mesh_graph,
+            model_axis=args.mesh_model,
         ),
         architecture_name=args.architecture,
         run_name=args.run_name,

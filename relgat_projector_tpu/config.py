@@ -203,10 +203,11 @@ class MeshConfig:
 
     data_axis: int = 1   # DP over the triplet batch
     graph_axis: int = 1  # edge partitioning of the message-passing graph
+    model_axis: int = 1  # TP over attention heads (banks shard on heads)
 
     @property
     def num_devices(self) -> int:
-        return self.data_axis * self.graph_axis
+        return self.data_axis * self.graph_axis * self.model_axis
 
 
 @dataclass

@@ -25,9 +25,9 @@ def _xla_reference(
     h, attn_bank, rel_bias, be: BlockedEdges, num_nodes,
     *, negative_slope, eps, attn_dropout_rate=0.0, dropout_rng=None,
 ):
-    """XLA propagate on the blocked arrays (identical math; used as the
-    validation oracle and as the differentiable fallback for
-    attention-dropout training steps)."""
+    """XLA propagate on the blocked arrays (identical math, identical
+    hash-derived dropout masks via ``be.edge_of_slot``) — the validation
+    oracle for the fused kernels."""
     from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
 
     return relgat_propagate(

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from relgat_projector_tpu.parallel.mesh import GRAPH_AXIS
+from relgat_projector_tpu.parallel.mesh import GRAPH_AXIS, MODEL_AXIS
 
 
 def _round_up(x: int, m: int) -> int:
@@ -306,7 +306,16 @@ def halo_propagate(
     kernel_precision: str = "highest",
 ) -> jax.Array:
     """Boundary-only halo-exchange propagate; returns the node-sharded
-    ``[G*rows, H, F]`` aggregate."""
+    ``[G*rows, H, F]`` aggregate.
+
+    Composes with tensor parallelism over heads: when the mesh has a
+    ``model`` axis > 1, ``h`` is additionally sharded on the heads axis and
+    the per-head ``attn`` bank on its leading axis — each device owns a
+    (dst-range, head-range) tile, runs the unmodified local propagate on
+    its head slice (heads are independent until the concat, reference
+    ``layer.py:321``), and the halo exchange ships only that head slice,
+    so exchange bandwidth also splits across ``model``.
+    """
     if hg.mesh is None:
         raise ValueError(
             "HaloGraph has no mesh attached; call with_mesh()/"
@@ -314,8 +323,7 @@ def halo_propagate(
         )
     mesh = hg.mesh
     g, hp, rows = hg.num_shards, hg.halo_pair, hg.rows_per_shard
-    heads, num_rel, f = attn_bank.shape
-    hf = heads * f
+    num_rel = attn_bank.shape[1]
     use_bias = rel_bias is not None
     bias_arg = rel_bias if use_bias else jnp.zeros((num_rel,), jnp.float32)
     use_dropout = attn_dropout_rate > 0.0 and dropout_rng is not None
@@ -324,7 +332,10 @@ def halo_propagate(
 
     def local_fn(h_loc, attn, bias, rng, send_idx, sx, dl, et, mask,
                  blocked):
-        # h_loc: [rows, H, F] — this device's owned feature rows.
+        # h_loc: [rows, H_local, F] — this device's (dst-range, head-range)
+        # feature tile; head count comes from the LOCAL attn bank.
+        heads, _, f = attn.shape
+        hf = heads * f
         h2 = h_loc.reshape(rows, hf)
         send = jnp.take(
             h2, send_idx[0].reshape(-1), axis=0
@@ -337,8 +348,12 @@ def halo_propagate(
 
         local_rng = None
         if use_dropout:
+            # Independent masks per (graph shard, head shard): the in-mask
+            # head index is LOCAL, so the seed must vary across the model
+            # axis too.
             local_rng = jax.random.fold_in(
-                rng, jax.lax.axis_index(GRAPH_AXIS)
+                jax.random.fold_in(rng, jax.lax.axis_index(GRAPH_AXIS)),
+                jax.lax.axis_index(MODEL_AXIS),
             )
         if run_pallas:
             from relgat_projector_tpu.ops.pallas.kernels import (
@@ -370,11 +385,12 @@ def halo_propagate(
         local_fn,
         mesh=mesh,
         in_specs=(
-            P(GRAPH_AXIS), P(), P(), P(),
+            P(GRAPH_AXIS, MODEL_AXIS),   # h: nodes x heads tile
+            P(MODEL_AXIS), P(), P(),     # attn bank sharded on heads
             P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
             P(GRAPH_AXIS), P(GRAPH_AXIS),
         ),
-        out_specs=P(GRAPH_AXIS),
+        out_specs=P(GRAPH_AXIS, MODEL_AXIS),
         check_vma=False,
     )
     return fn(

@@ -72,7 +72,16 @@ class RelGATTrainer:
             else 1
         )
         mp = run_config.model.mesh_propagate
-        use_halo = graph_axis > 1 and mp == "halo"
+        # Halo layout whenever the propagate is partitioned at all: over
+        # dst ranges (graph axis) and/or attention heads (model axis; a
+        # 1-shard halo graph is exchange-free but carries the layout).
+        use_halo = mp == "halo" and (
+            graph_axis > 1
+            or (
+                run_config.mesh.num_devices > 1
+                and run_config.mesh.model_axis > 1
+            )
+        )
         self.dataset = RelGATData(
             node2emb,
             rel2idx,
@@ -160,6 +169,17 @@ class RelGATTrainer:
                     "mesh_propagate='gspmd' has no Pallas partitioning; "
                     "use 'halo' (default) or 'replicated' with use_pallas"
                 )
+            if mesh_cfg.model_axis > 1:
+                if mp != "halo":
+                    raise ValueError(
+                        "model_axis > 1 (head TP) requires "
+                        "mesh_propagate='halo'"
+                    )
+                if self.model_cfg.gat_heads % mesh_cfg.model_axis != 0:
+                    raise ValueError(
+                        f"gat_heads={self.model_cfg.gat_heads} not divisible"
+                        f" by model_axis={mesh_cfg.model_axis}"
+                    )
             self.mesh = make_mesh(mesh_cfg)
             self.state = place_replicated(self.mesh, self.state)
             # Halo mode keeps node features SHARDED over the graph axis

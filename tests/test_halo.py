@@ -213,3 +213,99 @@ def test_trainer_halo_mesh_matches_single_device():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
             )
+
+
+def test_halo_with_model_axis_head_tp():
+    """Head tensor-parallelism: a (data=1, graph=2, model=2) mesh tiles
+    (dst-range x head-range); numerics must match single device, forward
+    and gradients (SURVEY §2.3 TP plan; VERDICT round-1 missing #3)."""
+    src, dst, et, attn, bias, heads, f = _case(heads=4, seed=5)
+    mesh = make_mesh(data=1, graph=2, model=2)
+    for use_pallas in (False, True):
+        hg = build_halo_graph(
+            src, dst, et, 300, 2, blocked=use_pallas,
+            block_nodes=64, chunk_edges=128,
+        ).with_mesh(mesh)
+        n_pad = hg.num_nodes
+        rng = np.random.default_rng(6)
+        h = jnp.asarray(
+            rng.standard_normal((n_pad, heads, f)).astype(np.float32)
+        )
+        want = np.asarray(relgat_propagate(
+            h, attn, bias, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(et), num_nodes=n_pad,
+        ))
+        got = np.asarray(
+            halo_propagate(h, attn, bias, hg, use_pallas=use_pallas)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        def loss_sh(h_, a_, b_):
+            return jnp.sum(jnp.sin(
+                halo_propagate(h_, a_, b_, hg, use_pallas=use_pallas)
+            ))
+
+        def loss_1(h_, a_, b_):
+            return jnp.sum(jnp.sin(relgat_propagate(
+                h_, a_, b_, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray(et), num_nodes=n_pad,
+            )))
+
+        gs = jax.grad(loss_sh, argnums=(0, 1, 2))(h, attn, bias)
+        g1 = jax.grad(loss_1, argnums=(0, 1, 2))(h, attn, bias)
+        for a, b in zip(gs, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+
+def test_trainer_with_model_axis_matches_single_device():
+    """Full trainer on a 2x2x2 (data x graph x model) mesh == single-device
+    numerics, Pallas path."""
+    from relgat_projector_tpu.config import (
+        MeshConfig, ModelConfig, RunConfig, TrainConfig,
+    )
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=160, num_edges=1600, num_rel=4, emb_dim=16, seed=0
+    )
+
+    def build(mesh_cfg):
+        run = RunConfig(
+            model=ModelConfig(
+                in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+                gat_num_layers=2, dropout=0.0, project_to_input_size=True,
+                projection_layers=1, use_pallas=True,
+            ),
+            train=TrainConfig(
+                epochs=1, train_batch_size=64, eval_batch_size=64,
+                num_neg=4, lr=1e-3, lr_scheduler="constant",
+                warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
+                log_every_n_steps=10_000,
+                out_dir="/tmp/relgat-tp-mesh-test",
+            ),
+            mesh=mesh_cfg,
+        )
+        return RelGATTrainer(
+            run, node2emb, rel2idx, triplets, log_to_console=False
+        )
+
+    t1 = build(MeshConfig())
+    t2 = build(MeshConfig(data_axis=2, graph_axis=2, model_axis=2))
+    assert t2.mesh is not None
+
+    t1._single_epoch(1, 1)
+    t2._single_epoch(1, 1)
+    m1 = t1.evaluate()
+    m2 = t2.evaluate()
+    np.testing.assert_allclose(m1[0], m2[0], rtol=1e-4)
+    np.testing.assert_allclose(m1[2], m2[2], rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
+        )
