@@ -279,6 +279,68 @@ class BlockedGraph:
     num_nodes: int = dataclasses.field(metadata={"static": True})
 
 
+def build_blocked_shards(
+    per_shard_edges,
+    dst_space: int,
+    src_space: int,
+    *,
+    block_nodes: int = 128,
+    chunk_edges: int = 512,
+) -> BlockedGraph:
+    """Per-device blocked layouts, stacked ``[G, ...]`` on every leaf.
+
+    ``per_shard_edges`` is a list of ``(src, dst, etype)`` triples — one per
+    shard — with ``dst`` in the LOCAL output space ``[0, dst_space)`` and
+    ``src`` in the shared gather space ``[0, src_space)`` (global node ids
+    for the replicated-feature path, halo-buffer ids for the halo path).
+    Shards are padded to a common chunk count so the layouts stack into one
+    pytree with identical static metadata (``BlockedGraph.num_nodes`` is
+    the local dst space). Consumed inside ``shard_map`` by
+    ``parallel/pallas_sharded.py`` and ``parallel/halo.py``.
+    """
+    per_dst, per_src = [], []
+    for s, d, e in per_shard_edges:
+        per_dst.append(
+            _build_one(d, s, d, e, dst_space, block_nodes, chunk_edges)
+        )
+        per_src.append(
+            _build_one(s, s, d, e, src_space, block_nodes, chunk_edges)
+        )
+
+    cd = max(be.num_chunks for be in per_dst)
+    cs = max(be.num_chunks for be in per_src)
+    emax = max(
+        1,
+        max(int(np.asarray(be.slot_of_edge).shape[0]) for be in per_dst),
+    )
+
+    shards = []
+    for g in range(len(per_shard_edges)):
+        bd = pad_blocked_edges(per_dst[g], cd, emax)
+        bsrc = pad_blocked_edges(per_src[g], cs, emax)
+        # Per-edge grad permutation (only the v1 backward oracle reads it);
+        # padded slots map to slot 0.
+        e_real = int(np.asarray(per_src[g].edge_of_slot).shape[0])
+        if int(np.asarray(per_dst[g].slot_of_edge).shape[0]) > 0:
+            perm = np.asarray(bd.slot_of_edge)[
+                np.asarray(per_src[g].edge_of_slot)
+            ]
+            perm = np.concatenate(
+                [perm, np.zeros(bsrc.num_slots - e_real, np.int64)]
+            )
+        else:
+            perm = np.zeros(bsrc.num_slots, np.int64)
+        shards.append(
+            BlockedGraph(
+                by_dst=bd,
+                by_src=bsrc,
+                dst_slot_of_src_slot=jnp.asarray(perm.astype(np.int32)),
+                num_nodes=int(dst_space),
+            )
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
+
+
 def build_blocked_graph(
     src: np.ndarray,
     dst: np.ndarray,

@@ -184,11 +184,14 @@ def import_torch_state_dict(
 def import_torch_checkpoint_dir(
     ckpt_dir: str,
     out_dir: str,
+    weights_file: Optional[str] = None,
 ) -> Tuple[dict, ModelConfig]:
     """Convert a reference checkpoint directory into this framework's
     HF-style directory (``config.json`` + msgpack weights +
-    ``relations-map.json`` if present). Returns ``(params, cfg)``."""
-    sd = load_torch_state_dict(ckpt_dir)
+    ``relations-map.json`` if present). ``weights_file`` overrides the
+    default ``relgat-model.pt`` inside the directory. Returns
+    ``(params, cfg)``."""
+    sd = load_torch_state_dict(weights_file or ckpt_dir)
 
     scorer_type = "distmult"
     tc_path = os.path.join(ckpt_dir, "training-config.json")
@@ -224,9 +227,15 @@ def main(argv=None) -> None:
     ap.add_argument("--out", required=True, help="output directory")
     args = ap.parse_args(argv)
     ckpt = args.checkpoint
+    weights_file = None
     if os.path.isfile(ckpt):
+        # Keep the exact file (it may not be named relgat-model.pt); the
+        # containing directory still supplies the JSON sidecars.
+        weights_file = ckpt
         ckpt = os.path.dirname(ckpt) or "."
-    params, cfg = import_torch_checkpoint_dir(ckpt, args.out)
+    params, cfg = import_torch_checkpoint_dir(
+        ckpt, args.out, weights_file=weights_file
+    )
     n_params = sum(
         int(np.prod(p.shape))
         for p in __import__("jax").tree_util.tree_leaves(params)

@@ -4,6 +4,7 @@ from relgat_projector_tpu.parallel.sharded import (  # noqa: F401
     place_graph,
     place_node_features,
     place_replicated,
+    place_scan_batch,
     shard_batch_arrays,
 )
 from relgat_projector_tpu.parallel.halo import (  # noqa: F401

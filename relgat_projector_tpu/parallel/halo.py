@@ -48,8 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from relgat_projector_tpu.parallel.mesh import GRAPH_AXIS, MODEL_AXIS
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from relgat_projector_tpu.data.graph import round_up as _round_up
 
 
 @jax.tree_util.register_dataclass
@@ -202,55 +201,18 @@ def build_halo_graph(
 
     blocked_graph = None
     if blocked:
-        from relgat_projector_tpu.data.blocked import (
-            BlockedGraph,
-            _build_one,
-            pad_blocked_edges,
-        )
+        from relgat_projector_tpu.data.blocked import build_blocked_shards
 
-        halo_n = rows + g * hp
-        per_dst, per_src = [], []
-        for d in range(g):
-            s_d, d_d, e_d, _ = per_shard[d]
-            h_d = halo_src_per_shard[d]
-            per_dst.append(
-                _build_one(d_d, h_d, d_d, e_d, rows, block_nodes,
-                           chunk_edges)
-            )
-            per_src.append(
-                _build_one(h_d, h_d, d_d, e_d, halo_n, block_nodes,
-                           chunk_edges)
-            )
-        cd = max(be.num_chunks for be in per_dst)
-        cs = max(be.num_chunks for be in per_src)
-        emax = max(
-            1,
-            max(int(np.asarray(be.slot_of_edge).shape[0]) for be in per_dst),
-        )
-        shards = []
-        for d in range(g):
-            bd = pad_blocked_edges(per_dst[d], cd, emax)
-            bsrc = pad_blocked_edges(per_src[d], cs, emax)
-            e_real = int(np.asarray(per_src[d].edge_of_slot).shape[0])
-            if int(np.asarray(per_dst[d].slot_of_edge).shape[0]) > 0:
-                perm = np.asarray(bd.slot_of_edge)[
-                    np.asarray(per_src[d].edge_of_slot)
-                ]
-                perm = np.concatenate(
-                    [perm, np.zeros(bsrc.num_slots - e_real, np.int64)]
-                )
-            else:
-                perm = np.zeros(bsrc.num_slots, np.int64)
-            shards.append(
-                BlockedGraph(
-                    by_dst=bd,
-                    by_src=bsrc,
-                    dst_slot_of_src_slot=jnp.asarray(perm.astype(np.int32)),
-                    num_nodes=rows,
-                )
-            )
-        blocked_graph = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *shards
+        # Per-device layouts in halo space: dst local, src = halo-buffer id.
+        blocked_graph = build_blocked_shards(
+            [
+                (halo_src_per_shard[d], per_shard[d][1], per_shard[d][2])
+                for d in range(g)
+            ],
+            rows,
+            rows + g * hp,
+            block_nodes=block_nodes,
+            chunk_edges=chunk_edges,
         )
 
     return HaloGraph(

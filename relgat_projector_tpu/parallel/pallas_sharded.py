@@ -35,9 +35,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from relgat_projector_tpu.data.blocked import (
     BlockedGraph,
-    _build_one,
-    pad_blocked_edges,
+    build_blocked_shards,
 )
+from relgat_projector_tpu.data.graph import round_up
 from relgat_projector_tpu.parallel.mesh import GRAPH_AXIS
 
 
@@ -87,54 +87,18 @@ def shard_blocked_graph(
     dst = np.asarray(dst, np.int64)
     etype = np.asarray(etype, np.int64)
 
-    rows = -(-num_nodes // num_shards)
-    rows = -(-rows // block_nodes) * block_nodes  # whole dst blocks per shard
+    # Whole dst blocks per shard; global src (gather) space.
+    rows = round_up(-(-num_nodes // num_shards), block_nodes)
     shard_of = np.minimum(dst // rows, num_shards - 1)
-
-    per_dst, per_src = [], []
+    per_shard = []
     for g in range(num_shards):
         sel = shard_of == g
-        s_g, d_g, e_g = src[sel], dst[sel] - g * rows, etype[sel]
-        # Local dst space of `rows` rows; global src space of `num_nodes`.
-        per_dst.append(
-            _build_one(d_g, s_g, d_g, e_g, rows, block_nodes, chunk_edges)
-        )
-        per_src.append(
-            _build_one(s_g, s_g, d_g, e_g, num_nodes, block_nodes,
-                       chunk_edges)
-        )
+        per_shard.append((src[sel], dst[sel] - g * rows, etype[sel]))
 
-    cd = max(be.num_chunks for be in per_dst)
-    cs = max(be.num_chunks for be in per_src)
-    emax = max(int(np.asarray(be.slot_of_edge).shape[0]) for be in per_dst)
-    emax = max(emax, 1)
-
-    shards = []
-    for g in range(num_shards):
-        bd = pad_blocked_edges(per_dst[g], cd, emax)
-        bsrc = pad_blocked_edges(per_src[g], cs, emax)
-        # Per-edge grad permutation (only the v1 backward oracle reads it);
-        # padded slots map to slot 0.
-        e_real = int(np.asarray(per_src[g].edge_of_slot).shape[0])
-        if int(np.asarray(per_dst[g].slot_of_edge).shape[0]) > 0:
-            perm = np.asarray(bd.slot_of_edge)[
-                np.asarray(per_src[g].edge_of_slot)
-            ]
-            perm = np.concatenate(
-                [perm, np.zeros(bsrc.num_slots - e_real, np.int64)]
-            )
-        else:
-            perm = np.zeros(bsrc.num_slots, np.int64)
-        shards.append(
-            BlockedGraph(
-                by_dst=bd,
-                by_src=bsrc,
-                dst_slot_of_src_slot=jnp.asarray(perm.astype(np.int32)),
-                num_nodes=rows,  # LOCAL output space
-            )
-        )
-
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
+    stacked = build_blocked_shards(
+        per_shard, rows, num_nodes,
+        block_nodes=block_nodes, chunk_edges=chunk_edges,
+    )
     return ShardedBlockedGraph(
         shards=stacked,
         num_shards=num_shards,
@@ -193,7 +157,11 @@ def pallas_sharded_propagate(
         local = jax.tree_util.tree_map(lambda x: x[0], shards)
         local_rng = None
         if use_dropout:
-            # Independent per-shard masks (a relabeling of one global draw).
+            # Independent per-shard masks. NOTE: these are NOT bitwise the
+            # single-device masks for the same key (the hash sees per-shard
+            # seeds and shard-local canonical edge ids) — statistically
+            # equivalent dropout, but not comparable in parity tests, which
+            # therefore run at rate 0.
             local_rng = jax.random.fold_in(
                 rng, jax.lax.axis_index(GRAPH_AXIS)
             )

@@ -80,5 +80,15 @@ def place_batch(mesh: Mesh, *arrays: jax.Array):
     return out if len(out) > 1 else out[0]
 
 
+def place_scan_batch(mesh: Mesh, *arrays: jax.Array):
+    """Shard stacked ``[S, B]`` scan batches over the ``data`` axis on the
+    BATCH dimension (axis 1) — axis 0 is the lax.scan step axis and must
+    stay unsharded (sharding it would both require S % data == 0 and defeat
+    per-step data parallelism)."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def shard_batch_arrays(mesh: Mesh, src, rel, dst, weight):
     return place_batch(mesh, src, rel, dst, weight)

@@ -72,6 +72,16 @@ class RelGATTrainer:
             else 1
         )
         mp = run_config.model.mesh_propagate
+        if (
+            graph_axis > 1
+            and mp == "replicated"
+            and not run_config.model.use_pallas
+        ):
+            raise ValueError(
+                "mesh_propagate='replicated' is the per-device Pallas-shard"
+                " path and requires use_pallas=True; use 'halo' (default) "
+                "or 'gspmd' for the XLA path"
+            )
         # Halo layout whenever the propagate is partitioned at all: over
         # dst ranges (graph axis) and/or attention heads (model axis; a
         # 1-shard halo graph is exchange-free but carries the layout).
@@ -428,9 +438,9 @@ class RelGATTrainer:
             dst_s = jnp.asarray(np.stack([b.dst for b in group]))
             w_s = jnp.asarray(np.stack([b.weight for b in group]))
             if self.mesh is not None:
-                from relgat_projector_tpu.parallel import place_batch
+                from relgat_projector_tpu.parallel import place_scan_batch
 
-                src_s, rel_s, dst_s, w_s = place_batch(
+                src_s, rel_s, dst_s, w_s = place_scan_batch(
                     self.mesh, src_s, rel_s, dst_s, w_s
                 )
             self.state, metrics = self._scan_step(

@@ -160,3 +160,50 @@ def test_trainer_pallas_mesh_matches_single_device_pallas():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
         )
+
+
+def test_trainer_mesh_with_scan_dispatch():
+    """steps_per_call > 1 (lax.scan dispatch) composed with the mesh +
+    Pallas + halo: one epoch must match the per-step-dispatch trainer."""
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=160, num_edges=1600, num_rel=4, emb_dim=16, seed=0
+    )
+
+    def build(steps_per_call):
+        run = RunConfig(
+            model=ModelConfig(
+                in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+                gat_num_layers=1, dropout=0.0, project_to_input_size=True,
+                projection_layers=1, use_pallas=True,
+            ),
+            train=TrainConfig(
+                epochs=1, train_batch_size=64, eval_batch_size=64,
+                num_neg=4, lr=1e-3, lr_scheduler="constant",
+                warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
+                log_every_n_steps=10_000, steps_per_call=steps_per_call,
+                out_dir="/tmp/relgat-mesh-scan-test",
+            ),
+            mesh=MeshConfig(data_axis=2, graph_axis=4),
+        )
+        return RelGATTrainer(
+            run, node2emb, rel2idx, triplets, log_to_console=False
+        )
+
+    t1 = build(1)
+    # steps_per_call=3 is deliberately NOT divisible by data_axis=2: the
+    # stacked [S, B] batch must shard on the BATCH axis, not the scan axis.
+    t2 = build(3)
+    assert t2._scan_step is not None and t2.mesh is not None
+    t1._single_epoch(1, 1)
+    t2._single_epoch(1, 1)
+    assert int(t1.state.step) == int(t2.state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
+        )
