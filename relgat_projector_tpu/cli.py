@@ -128,6 +128,10 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="MXU precision inside the Pallas kernels")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each GAT layer (memory for compute)")
+    p.add_argument("--scan-segments", dest="scan_segments", type=int,
+                   default=0,
+                   help=">1: scan the fused kernels over that many edge "
+                        "segments (bounds per-edge memory for huge graphs)")
     p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
                    default=1,
                    help="train steps per jitted dispatch (lax.scan); >1 "
@@ -202,6 +206,7 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         use_pallas=args.use_pallas,
         kernel_precision=args.kernel_precision,
         remat=args.remat,
+        scan_segments=args.scan_segments,
         mesh_propagate=args.mesh_propagate,
     )
     train = TrainConfig(

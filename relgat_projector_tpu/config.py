@@ -87,6 +87,9 @@ class ModelConfig:
     # recompute for the all-N activation memory of full-graph backward)
     kernel_precision: str = "highest"  # Pallas MXU passes: "highest"
     # (fp32-exact, reference parity) | "high" (bf16x3) | "default" (bf16)
+    scan_segments: int = 0         # >1: lax.scan the fused kernels over
+    # that many edge segments on ONE device — bounds per-edge gather memory
+    # for huge graphs (the single-shot backward needs ~3*E*H*F*4 bytes)
     mesh_propagate: str = "halo"   # graph-axis strategy when graph_axis > 1:
     # "halo" (node-sharded features + boundary-only all_to_all,
     # parallel/halo.py) | "replicated" (replicated features, per-device

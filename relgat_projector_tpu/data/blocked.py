@@ -16,11 +16,18 @@ neutralizes its tail edges (``data/graph.py``), but works mid-array.
 
 A second, src-blocked layout of the same form drives the backward scatter
 (dL/dh accumulates per SOURCE node).
+
+Layout construction is host-side (NumPy + the native C++ builder,
+``native/graphbuild.cpp``); ``chunk_meta`` — the single largest layout
+array — is assembled ON DEVICE from the slot arrays it rearranges, cutting
+layout upload bytes ~60% (the one-time build at 8M edges was dominated by
+host->device transfer through this image's relay, BENCH_NOTES.md).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -44,7 +51,8 @@ class BlockedEdges:
     # callers must zero rows of empty blocks via this mask)
     chunk_meta: jax.Array   # [C, 8, TE] int32 — per-chunk edge metadata with
     # a sublane-aligned shape for TPU BlockSpecs (last two dims (8, TE)):
-    # row 0 = etype, row 1 = local_seg, row 2 = mask (0/1), rows 3-7 unused
+    # row 0 = etype, row 1 = local_seg, row 2 = mask (0/1), row 3 =
+    # canonical edge id (dropout-mask hash key), rows 4-7 unused
     edge_of_slot: jax.Array  # [E_bp] int32: canonical edge index per slot
     # (padding slots repeat the block's last real edge; only meaningful
     # where mask == 1)
@@ -61,7 +69,30 @@ class BlockedEdges:
         return int(self.chunk_block.shape[0])
 
 
-def _build_one(
+def _chunk_meta_device(
+    etype: jax.Array,
+    local_seg: jax.Array,
+    mask: jax.Array,
+    edge_of_slot: jax.Array,
+    chunk_edges: int,
+) -> jax.Array:
+    """Assemble ``chunk_meta [C, 8, TE]`` ON DEVICE from the slot arrays
+    (pure rearrangement of arrays that transfer anyway)."""
+    c = etype.shape[0] // chunk_edges
+    z = jnp.zeros((c, chunk_edges), jnp.int32)
+    return jnp.stack(
+        [
+            etype.reshape(c, chunk_edges),
+            local_seg.reshape(c, chunk_edges),
+            mask.astype(jnp.int32).reshape(c, chunk_edges),
+            edge_of_slot.reshape(c, chunk_edges),
+            z, z, z, z,
+        ],
+        axis=1,
+    )
+
+
+def _build_one_np(
     seg_key: np.ndarray,   # sort/partition key (dst for fwd, src for bwd)
     src: np.ndarray,
     dst: np.ndarray,
@@ -69,7 +100,8 @@ def _build_one(
     num_nodes: int,
     block_nodes: int,
     chunk_edges: int,
-) -> BlockedEdges:
+) -> Dict[str, np.ndarray]:
+    """Host-side layout arrays (no device transfer, no chunk_meta)."""
     # Fast path: native C++ builder (native/graphbuild.cpp via ctypes).
     if seg_key.shape[0] > 0:
         from relgat_projector_tpu.data.native import native_blocked_arrays
@@ -84,21 +116,8 @@ def _build_one(
             chunk_edges,
         )
         if arrs is not None:
-            return BlockedEdges(
-                src=jnp.asarray(arrs["src"]),
-                dst=jnp.asarray(arrs["dst"]),
-                etype=jnp.asarray(arrs["etype"]),
-                mask=jnp.asarray(arrs["mask"]),
-                local_seg=jnp.asarray(arrs["local_seg"]),
-                chunk_block=jnp.asarray(arrs["chunk_block"]),
-                slot_of_edge=jnp.asarray(arrs["slot_of_edge"]),
-                block_nonempty=jnp.asarray(arrs["block_nonempty"]),
-                chunk_meta=jnp.asarray(arrs["chunk_meta"]),
-                edge_of_slot=jnp.asarray(arrs["edge_of_slot"]),
-                block_nodes=int(block_nodes),
-                chunk_edges=int(chunk_edges),
-                num_blocks=-(-num_nodes // block_nodes),
-            )
+            arrs.pop("chunk_meta", None)
+            return arrs
 
     e = seg_key.shape[0]
     order = np.argsort(seg_key, kind="stable")
@@ -141,9 +160,9 @@ def _build_one(
         pad_end = out_slot_start[b + 1]
         if pad_end > o0 + n:
             pad_key = key_s[i1 - 1]
-            seg_b[o0 + n : pad_end] = pad_key
             # src/dst of padding slots point at a real node (block-local) so
             # gathers stay in-bounds; mask kills their contribution.
+            seg_b[o0 + n : pad_end] = pad_key
             src_b[o0 + n : pad_end] = src_s[i1 - 1]
             dst_b[o0 + n : pad_end] = dst_s[i1 - 1]
             edge_of_slot[o0 + n : pad_end] = order[i1 - 1]
@@ -167,101 +186,111 @@ def _build_one(
         edge_of_slot = np.zeros(slots_total, np.int64)
         chunk_block = np.zeros(1, np.int32)
 
-    block_nonempty = (counts > 0).astype(np.float32)
-
-    num_chunks = max(1, slots_total // chunk_edges)
-    chunk_meta = np.zeros((num_chunks, 8, chunk_edges), np.int32)
-    chunk_meta[:, 0, :] = et_b.reshape(num_chunks, chunk_edges)
-    chunk_meta[:, 1, :] = local_seg.reshape(num_chunks, chunk_edges)
-    chunk_meta[:, 2, :] = mask_b.reshape(num_chunks, chunk_edges).astype(
-        np.int32
+    return dict(
+        src=src_b,
+        dst=dst_b,
+        etype=et_b,
+        mask=mask_b,
+        local_seg=local_seg,
+        chunk_block=chunk_block,
+        slot_of_edge=slot_of_edge.astype(np.int32),
+        block_nonempty=(counts > 0).astype(np.float32),
+        edge_of_slot=edge_of_slot.astype(np.int32),
     )
-    # Row 3: canonical edge id per slot — the replayable attention-dropout
-    # masks hash on it (``ops/dropout.py``); layout-order independent.
-    chunk_meta[:, 3, :] = edge_of_slot.reshape(
-        num_chunks, chunk_edges
-    ).astype(np.int32)
 
+
+def _to_blocked_edges(
+    d: Dict[str, np.ndarray],
+    num_nodes: int,
+    block_nodes: int,
+    chunk_edges: int,
+) -> BlockedEdges:
+    """Transfer host layout arrays and build ``chunk_meta`` on device."""
+    et = jnp.asarray(d["etype"])
+    mask = jnp.asarray(d["mask"])
+    local = jnp.asarray(d["local_seg"])
+    eos = jnp.asarray(d["edge_of_slot"])
     return BlockedEdges(
-        src=jnp.asarray(src_b),
-        dst=jnp.asarray(dst_b),
-        etype=jnp.asarray(et_b),
-        mask=jnp.asarray(mask_b),
-        local_seg=jnp.asarray(local_seg),
-        chunk_block=jnp.asarray(chunk_block),
-        slot_of_edge=jnp.asarray(slot_of_edge.astype(np.int32)),
-        block_nonempty=jnp.asarray(block_nonempty),
-        chunk_meta=jnp.asarray(chunk_meta),
-        edge_of_slot=jnp.asarray(edge_of_slot.astype(np.int32)),
+        src=jnp.asarray(d["src"]),
+        dst=jnp.asarray(d["dst"]),
+        etype=et,
+        mask=mask,
+        local_seg=local,
+        chunk_block=jnp.asarray(d["chunk_block"]),
+        slot_of_edge=jnp.asarray(d["slot_of_edge"]),
+        block_nonempty=jnp.asarray(d["block_nonempty"]),
+        chunk_meta=_chunk_meta_device(et, local, mask, eos, chunk_edges),
+        edge_of_slot=eos,
         block_nodes=int(block_nodes),
         chunk_edges=int(chunk_edges),
-        num_blocks=int(num_blocks),
+        num_blocks=-(-num_nodes // block_nodes),
     )
 
 
-def pad_blocked_edges(
-    be: BlockedEdges, num_chunks: int, num_edges_canonical: int = 0
+def _build_one(
+    seg_key: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    etype: np.ndarray,
+    num_nodes: int,
+    block_nodes: int,
+    chunk_edges: int,
 ) -> BlockedEdges:
-    """Pad a blocked layout to exactly ``num_chunks`` chunks (and the
-    matching ``num_chunks * TE`` slots) so layouts from differently-sized
-    graph shards stack into one ``[G, ...]`` pytree with identical shapes
-    (``parallel/pallas_sharded.py``).
+    return _to_blocked_edges(
+        _build_one_np(
+            seg_key, src, dst, etype, num_nodes, block_nodes, chunk_edges
+        ),
+        num_nodes,
+        block_nodes,
+        chunk_edges,
+    )
+
+
+def _pad_np(
+    d: Dict[str, np.ndarray],
+    num_chunks: int,
+    chunk_edges: int,
+    num_edges_canonical: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Pad a host-side layout dict to exactly ``num_chunks`` chunks (and the
+    matching slot count) so layouts from differently-sized graph shards /
+    scan segments stack with identical shapes.
 
     Padding chunks repeat the LAST real chunk's block id with fully-masked
     metadata: the kernels re-accumulate zero and idempotently re-write that
-    block's already-final output, so results are unchanged.
-    ``slot_of_edge`` is padded to ``num_edges_canonical`` (it indexes
-    canonical edges, whose count also differs per shard; only callers that
-    track canonical edges read it)."""
-    te = be.chunk_edges
-    c = be.num_chunks
+    block's already-final output, so results are unchanged."""
+    te = chunk_edges
+    c = d["chunk_block"].shape[0]
     if num_chunks < c:
         raise ValueError(f"cannot shrink {c} chunks to {num_chunks}")
     extra_c = num_chunks - c
     extra_s = extra_c * te
 
-    def pad_slots(arr, fill_from_last: bool):
-        arr = np.asarray(arr)
+    def pad_slots(arr, fill_from_last):
         if extra_s == 0:
-            return jnp.asarray(arr)
+            return arr
         fill = arr[-1] if fill_from_last and arr.shape[0] else 0
-        return jnp.asarray(
-            np.concatenate([arr, np.full((extra_s,), fill, arr.dtype)])
-        )
+        return np.concatenate([arr, np.full((extra_s,), fill, arr.dtype)])
 
-    cb = np.asarray(be.chunk_block)
+    cb = d["chunk_block"]
     cb_fill = cb[-1] if cb.shape[0] else 0
-    chunk_block = jnp.asarray(
-        np.concatenate([cb, np.full((extra_c,), cb_fill, cb.dtype)])
-    )
-    meta = np.asarray(be.chunk_meta)
-    chunk_meta = jnp.asarray(
-        np.concatenate(
-            [meta, np.zeros((extra_c, 8, te), meta.dtype)], axis=0
-        )
-    )
-    soe = np.asarray(be.slot_of_edge)
+    soe = d["slot_of_edge"]
     if num_edges_canonical < soe.shape[0]:
         num_edges_canonical = soe.shape[0]
-    slot_of_edge = jnp.asarray(
-        np.concatenate(
+    return dict(
+        src=pad_slots(d["src"], True),
+        dst=pad_slots(d["dst"], True),
+        etype=pad_slots(d["etype"], False),
+        mask=pad_slots(d["mask"], False),
+        local_seg=pad_slots(d["local_seg"], False),
+        chunk_block=np.concatenate(
+            [cb, np.full((extra_c,), cb_fill, cb.dtype)]
+        ),
+        slot_of_edge=np.concatenate(
             [soe, np.zeros((num_edges_canonical - soe.shape[0],), soe.dtype)]
-        )
-    )
-    return BlockedEdges(
-        src=pad_slots(be.src, True),
-        dst=pad_slots(be.dst, True),
-        etype=pad_slots(be.etype, False),
-        mask=pad_slots(be.mask, False),
-        local_seg=pad_slots(be.local_seg, False),
-        chunk_block=chunk_block,
-        slot_of_edge=slot_of_edge,
-        block_nonempty=be.block_nonempty,
-        chunk_meta=chunk_meta,
-        edge_of_slot=pad_slots(be.edge_of_slot, True),
-        block_nodes=be.block_nodes,
-        chunk_edges=be.chunk_edges,
-        num_blocks=be.num_blocks,
+        ),
+        block_nonempty=d["block_nonempty"],
+        edge_of_slot=pad_slots(d["edge_of_slot"], True),
     )
 
 
@@ -280,65 +309,97 @@ class BlockedGraph:
 
 
 def build_blocked_shards(
-    per_shard_edges,
+    per_shard_edges: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     dst_space: int,
     src_space: int,
     *,
     block_nodes: int = 128,
     chunk_edges: int = 512,
 ) -> BlockedGraph:
-    """Per-device blocked layouts, stacked ``[G, ...]`` on every leaf.
+    """Per-device/per-segment blocked layouts, stacked ``[G, ...]``.
 
     ``per_shard_edges`` is a list of ``(src, dst, etype)`` triples — one per
     shard — with ``dst`` in the LOCAL output space ``[0, dst_space)`` and
     ``src`` in the shared gather space ``[0, src_space)`` (global node ids
     for the replicated-feature path, halo-buffer ids for the halo path).
-    Shards are padded to a common chunk count so the layouts stack into one
-    pytree with identical static metadata (``BlockedGraph.num_nodes`` is
-    the local dst space). Consumed inside ``shard_map`` by
-    ``parallel/pallas_sharded.py`` and ``parallel/halo.py``.
+    Shards are padded HOST-SIDE to a common chunk count, stacked, and
+    transferred once (``chunk_meta`` built on device). Consumed inside
+    ``shard_map`` (``parallel/pallas_sharded.py``, ``parallel/halo.py``)
+    or ``lax.scan`` (``ops/pallas/kernels.py`` scanned propagate).
     """
-    per_dst, per_src = [], []
+    per_dst: List[dict] = []
+    per_src: List[dict] = []
     for s, d, e in per_shard_edges:
+        s = np.asarray(s, np.int64)
+        d = np.asarray(d, np.int64)
+        e = np.asarray(e, np.int64)
         per_dst.append(
-            _build_one(d, s, d, e, dst_space, block_nodes, chunk_edges)
+            _build_one_np(d, s, d, e, dst_space, block_nodes, chunk_edges)
         )
         per_src.append(
-            _build_one(s, s, d, e, src_space, block_nodes, chunk_edges)
+            _build_one_np(s, s, d, e, src_space, block_nodes, chunk_edges)
         )
 
-    cd = max(be.num_chunks for be in per_dst)
-    cs = max(be.num_chunks for be in per_src)
-    emax = max(
-        1,
-        max(int(np.asarray(be.slot_of_edge).shape[0]) for be in per_dst),
-    )
+    cd = max(x["chunk_block"].shape[0] for x in per_dst)
+    cs = max(x["chunk_block"].shape[0] for x in per_src)
+    emax = max(1, max(x["slot_of_edge"].shape[0] for x in per_dst))
 
-    shards = []
+    perms = []
     for g in range(len(per_shard_edges)):
-        bd = pad_blocked_edges(per_dst[g], cd, emax)
-        bsrc = pad_blocked_edges(per_src[g], cs, emax)
+        per_dst[g] = _pad_np(per_dst[g], cd, chunk_edges, emax)
+        per_src[g] = _pad_np(per_src[g], cs, chunk_edges, emax)
         # Per-edge grad permutation (only the v1 backward oracle reads it);
         # padded slots map to slot 0.
-        e_real = int(np.asarray(per_src[g].edge_of_slot).shape[0])
-        if int(np.asarray(per_dst[g].slot_of_edge).shape[0]) > 0:
-            perm = np.asarray(bd.slot_of_edge)[
-                np.asarray(per_src[g].edge_of_slot)
-            ]
-            perm = np.concatenate(
-                [perm, np.zeros(bsrc.num_slots - e_real, np.int64)]
-            )
-        else:
-            perm = np.zeros(bsrc.num_slots, np.int64)
-        shards.append(
-            BlockedGraph(
-                by_dst=bd,
-                by_src=bsrc,
-                dst_slot_of_src_slot=jnp.asarray(perm.astype(np.int32)),
-                num_nodes=int(dst_space),
-            )
+        e_real = int(per_src[g]["edge_of_slot"].shape[0])
+        n_slots = per_src[g]["src"].shape[0]
+        e_canon = int(
+            np.count_nonzero(per_src[g]["mask"])
         )
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
+        if per_dst[g]["slot_of_edge"].shape[0] > 0 and e_canon > 0:
+            perm = per_dst[g]["slot_of_edge"][per_src[g]["edge_of_slot"]]
+        else:
+            perm = np.zeros(n_slots, np.int64)
+        perms.append(perm.astype(np.int32))
+
+    def stacked_edges(dicts, space):
+        st = {
+            k: np.stack([d[k] for d in dicts]) for k in dicts[0]
+        }
+        et = jnp.asarray(st["etype"])
+        mask = jnp.asarray(st["mask"])
+        local = jnp.asarray(st["local_seg"])
+        eos = jnp.asarray(st["edge_of_slot"])
+        g, slots = st["etype"].shape
+        c = slots // chunk_edges
+        meta = _chunk_meta_device(
+            et.reshape(g * slots),
+            local.reshape(g * slots),
+            mask.reshape(g * slots),
+            eos.reshape(g * slots),
+            chunk_edges,
+        ).reshape(g, c, 8, chunk_edges)
+        return BlockedEdges(
+            src=jnp.asarray(st["src"]),
+            dst=jnp.asarray(st["dst"]),
+            etype=et,
+            mask=mask,
+            local_seg=local,
+            chunk_block=jnp.asarray(st["chunk_block"]),
+            slot_of_edge=jnp.asarray(st["slot_of_edge"]),
+            block_nonempty=jnp.asarray(st["block_nonempty"]),
+            chunk_meta=meta,
+            edge_of_slot=eos,
+            block_nodes=int(block_nodes),
+            chunk_edges=int(chunk_edges),
+            num_blocks=-(-space // block_nodes),
+        )
+
+    return BlockedGraph(
+        by_dst=stacked_edges(per_dst, dst_space),
+        by_src=stacked_edges(per_src, src_space),
+        dst_slot_of_src_slot=jnp.asarray(np.stack(perms)),
+        num_nodes=int(dst_space),
+    )
 
 
 def build_blocked_graph(
@@ -355,19 +416,19 @@ def build_blocked_graph(
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     etype = np.asarray(etype, np.int64)
-    by_dst = _build_one(
+    d_dst = _build_one_np(
         dst, src, dst, etype, num_nodes, block_nodes, chunk_edges
     )
-    by_src = _build_one(
+    d_src = _build_one_np(
         src, src, dst, etype, num_nodes, block_nodes, chunk_edges
     )
     if src.shape[0] > 0:
-        perm = np.asarray(by_dst.slot_of_edge)[np.asarray(by_src.edge_of_slot)]
+        perm = d_dst["slot_of_edge"][d_src["edge_of_slot"]]
     else:
-        perm = np.zeros(by_src.num_slots, np.int64)
+        perm = np.zeros(d_src["src"].shape[0], np.int64)
     return BlockedGraph(
-        by_dst=by_dst,
-        by_src=by_src,
+        by_dst=_to_blocked_edges(d_dst, num_nodes, block_nodes, chunk_edges),
+        by_src=_to_blocked_edges(d_src, num_nodes, block_nodes, chunk_edges),
         dst_slot_of_src_slot=jnp.asarray(perm.astype(np.int32)),
         num_nodes=int(num_nodes),
     )

@@ -298,9 +298,12 @@ def fused_relgat_forward(
 def _bwd_src_kernel(
     cb_ref,      # [C] int32 scalar prefetch (src-blocked chunk -> block)
     ps_ref,      # [TE, H*F]   h gathered at src (src-sorted -> cheap)
-    ge_ref,      # [TE, H*F]   g gathered at dst per edge
-    es_ref,      # [TE, 8*H]   per-edge stats: cols [0:H]=m, [H:2H]=l,
-    #                           [2H:3H]=S, col 3H = gsum (sum_{h,f} g[dst])
+    ge_ref,      # [TE, H*F + 8*H]  PACKED per-edge stream gathered at dst:
+    #              cols [0:HF] = g rows; then per-edge stats [HF+0:HF+H]=m,
+    #              [HF+H:HF+2H]=l, [HF+2H:HF+3H]=S, col HF+3H = gsum
+    #              (sum_{h,f} g[dst]). One wide gather, sliced IN VMEM —
+    #              host-side slices of the packed gather materialized
+    #              multi-GB copies at 8M edges.
     meta_ref,    # [1, 8, TE]  (0=etype, 1=local_src, 2=mask, 3=edge id)
     attn_ref,    # [R, H*F]
     seed_ref,    # [1, 1] int32 (attention-dropout hash seed)
@@ -353,9 +356,10 @@ def _bwd_src_kernel(
         g_h = ge_ref[:, sl]                               # [TE, F]
         rel_att = rel_att_all[:, sl]                      # [TE, F]
 
-        m_e = es_ref[:, h]                                # [TE]
-        l_e = jnp.maximum(es_ref[:, heads + h], eps)      # [TE]
-        s_e = es_ref[:, 2 * heads + h]                    # [TE]
+        hf0 = heads * f
+        m_e = ge_ref[:, hf0 + h]                          # [TE]
+        l_e = jnp.maximum(ge_ref[:, hf0 + heads + h], eps)  # [TE]
+        s_e = ge_ref[:, hf0 + 2 * heads + h]              # [TE]
         m_safe = jnp.where(m_e <= _NEG * 0.5, 0.0, m_e)
 
         eraw = jnp.sum(ps_h * rel_att, axis=1)            # [TE]
@@ -404,7 +408,7 @@ def _bwd_src_kernel(
         onehot_r.T, deps, preferred_element_type=jnp.float32, precision=hi,
     )
 
-    gs_e = es_ref[:, 3 * heads]                           # [TE]
+    gs_e = ge_ref[:, heads * f + 3 * heads]               # [TE]
     bias_contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
     dbias_ref[:] += jnp.where(lane == 0, bias_contrib[:, None], 0.0)
@@ -412,8 +416,8 @@ def _bwd_src_kernel(
 
 def fused_relgat_backward_src(
     ps_src: jax.Array,    # [E_bp_src, H*F] h gathered at by_src.src
-    g_edge: jax.Array,    # [E_bp_src, H*F] g gathered at by_src.dst
-    edge_stats: jax.Array,  # [E_bp_src, 8*H] (m, l, S, gsum columns)
+    ge_packed: jax.Array,  # [E_bp_src, H*F + 8*H] gathered at by_src.dst:
+    #                        g rows ++ per-edge stats (m, l, S, gsum cols)
     bs: BlockedEdges,     # src-blocked layout
     attn: jax.Array,      # [H, R, F]
     *,
@@ -455,9 +459,7 @@ def fused_relgat_backward_src(
         in_specs=[
             pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((te, 8 * heads), lambda i, cb: (i, 0),
+            pl.BlockSpec((te, hf + 8 * heads), lambda i, cb: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, te), lambda i, cb: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -483,8 +485,7 @@ def fused_relgat_backward_src(
             jax.ShapeDtypeStruct((num_rel, 128), jnp.float32),
         ),
         interpret=_interpret(),
-    )(bs.chunk_block, ps_src, g_edge, edge_stats, bs.chunk_meta, attn_flat,
-      seed)
+    )(bs.chunk_block, ps_src, ge_packed, bs.chunk_meta, attn_flat, seed)
     dattn = jnp.transpose(dattn_flat.reshape(num_rel, heads, f), (1, 0, 2))
     return dh_blocks, dattn, dbias[:, 0]
 

@@ -86,18 +86,28 @@ def relgat_propagate(
         )
 
         if isinstance(blocked, ShardedBlockedGraph):
-            # Fused kernels under the graph-sharded mesh: per-device blocked
-            # layouts inside shard_map (one dst range per device).
-            return pallas_sharded_propagate(
-                h,
-                attn_bank,
-                rel_bias,
-                blocked,
+            kwargs = dict(
                 negative_slope=negative_slope,
                 eps=eps,
                 attn_dropout_rate=attn_dropout_rate,
                 dropout_rng=dropout_rng,
                 kernel_precision=kernel_precision,
+            )
+            if blocked.mesh is None:
+                # Mesh-less segment stack: lax.scan the fused kernels over
+                # the segments on ONE device — bounds the per-edge gather
+                # memory for huge graphs.
+                from relgat_projector_tpu.ops.pallas.kernels import (
+                    relgat_propagate_pallas_scanned,
+                )
+
+                return relgat_propagate_pallas_scanned(
+                    h, attn_bank, rel_bias, blocked, **kwargs
+                )
+            # Fused kernels under the graph-sharded mesh: per-device blocked
+            # layouts inside shard_map (one dst range per device).
+            return pallas_sharded_propagate(
+                h, attn_bank, rel_bias, blocked, **kwargs
             )
 
         from relgat_projector_tpu.ops.pallas import relgat_propagate_pallas

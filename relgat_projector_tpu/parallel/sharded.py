@@ -53,7 +53,23 @@ def place_graph(mesh: Mesh, graph: GraphData) -> GraphData:
 
     blocked = graph.blocked
     if isinstance(blocked, ShardedBlockedGraph):
-        blocked = place_sharded_blocked(mesh, blocked)
+        from relgat_projector_tpu.parallel.mesh import GRAPH_AXIS as _GA
+
+        if mesh.shape[_GA] == blocked.num_shards and blocked.num_shards > 1:
+            blocked = place_sharded_blocked(mesh, blocked)
+        else:
+            # Mesh-less segment stack (scan_segments) under a DP-only mesh:
+            # replicate the segment leaves, keep mesh unattached so the
+            # dispatch stays on the scanned path.
+            blocked = dataclasses.replace(
+                blocked,
+                shards=jax.tree_util.tree_map(
+                    lambda x: jax.device_put(
+                        x, NamedSharding(mesh, P())
+                    ),
+                    blocked.shards,
+                ),
+            )
     elif isinstance(blocked, HaloGraph):
         blocked = place_halo_graph(mesh, blocked)
 

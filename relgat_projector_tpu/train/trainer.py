@@ -106,7 +106,17 @@ class RelGATTrainer:
                     and run_config.model.use_pallas
                     and mp == "replicated"
                 )
-                else 1
+                # Mesh-less segment stack: scanned on one device to bound
+                # per-edge gather memory (ModelConfig.scan_segments).
+                else (
+                    run_config.model.scan_segments
+                    if (
+                        run_config.model.use_pallas
+                        and run_config.model.scan_segments > 1
+                        and graph_axis == 1
+                    )
+                    else 1
+                )
             ),
             halo_shards=graph_axis if use_halo else 0,
         )

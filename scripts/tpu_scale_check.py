@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--no-remat", dest="remat", action="store_false")
+    ap.add_argument("--scan-segments", dest="scan_segments", type=int,
+                    default=0,
+                    help=">1: segment-scanned propagate (bounds per-edge "
+                         "gather memory; ModelConfig.scan_segments)")
     args = ap.parse_args()
 
     import jax
@@ -53,9 +57,9 @@ def main():
         rng.integers(0, r, e).astype(np.int32),
         num_nodes=n,
         blocked=True,
+        graph_shards=max(1, args.scan_segments),
     )
-    print(f"layout build: {time.perf_counter() - t0:.1f}s "
-          f"({graph.blocked.by_dst.num_chunks} chunks)")
+    print(f"layout build: {time.perf_counter() - t0:.1f}s")
     emb = rng.standard_normal((n, args.emb_dim)).astype(np.float32)
     node_emb = jnp.asarray(pad_node_embeddings(emb, graph.num_nodes))
 
@@ -64,6 +68,7 @@ def main():
         gat_heads=args.heads, gat_num_layers=args.layers, dropout=0.0,
         project_to_input_size=True, projection_layers=2,
         scorer_type="distmult", use_pallas=True, remat=args.remat,
+        scan_segments=args.scan_segments,
     )
     tcfg = TrainConfig(
         train_batch_size=1024, num_neg=16, lr=1e-4, use_self_adv_neg=True,

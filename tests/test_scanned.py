@@ -1,0 +1,140 @@
+"""Segment-scanned fused propagate (huge-graph memory bounding): lax.scan
+over per-segment blocked layouts must match the single-shot Pallas path
+exactly — forward, gradients, and with in-kernel dropout active — and the
+trainer must run end-to-end with ModelConfig.scan_segments."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relgat_projector_tpu.data.blocked import build_blocked_graph
+from relgat_projector_tpu.data.graph import build_graph
+from relgat_projector_tpu.ops.pallas.kernels import (
+    relgat_propagate_pallas,
+    relgat_propagate_pallas_scanned,
+)
+from relgat_projector_tpu.parallel.pallas_sharded import shard_blocked_graph
+
+
+def _case(n_pad=304, e=2500, r=6, heads=2, f=16, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_pad - 4, e).astype(np.int32)
+    dst = rng.integers(0, n_pad - 4, e).astype(np.int32)
+    et = rng.integers(0, r, e).astype(np.int32)
+    h = jnp.asarray(rng.standard_normal((n_pad, heads, f)).astype(np.float32))
+    attn = jnp.asarray(
+        (rng.standard_normal((heads, r, f)) * 0.3).astype(np.float32)
+    )
+    bias = jnp.asarray((rng.standard_normal(r) * 0.1).astype(np.float32))
+    return src, dst, et, h, attn, bias
+
+
+def test_scanned_matches_single_shot_fwd_and_grad():
+    src, dst, et, h, attn, bias = _case()
+    n_pad = h.shape[0]
+    bg = build_blocked_graph(src, dst, et, n_pad, block_nodes=64,
+                             chunk_edges=128)
+    sbg = shard_blocked_graph(
+        src, dst, et, n_pad, 4, block_nodes=64, chunk_edges=128
+    )
+    assert sbg.mesh is None
+
+    want = np.asarray(relgat_propagate_pallas(h, attn, bias, bg))
+    got = np.asarray(relgat_propagate_pallas_scanned(h, attn, bias, sbg))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def loss_sc(h_, a_, b_):
+        return jnp.sum(jnp.sin(
+            relgat_propagate_pallas_scanned(h_, a_, b_, sbg)
+        ))
+
+    def loss_1(h_, a_, b_):
+        return jnp.sum(jnp.sin(relgat_propagate_pallas(h_, a_, b_, bg)))
+
+    gs = jax.grad(loss_sc, argnums=(0, 1, 2))(h, attn, bias)
+    g1 = jax.grad(loss_1, argnums=(0, 1, 2))(h, attn, bias)
+    for a, b in zip(gs, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+    # Under jit as well (the trainer always runs it jitted).
+    got_j = np.asarray(jax.jit(
+        lambda *xs: relgat_propagate_pallas_scanned(*xs, sbg)
+    )(h, attn, bias))
+    np.testing.assert_allclose(got_j, want, rtol=1e-5, atol=1e-5)
+
+
+def test_scanned_dropout_grads_are_consistent():
+    """With dropout the masks are segment-local (not bitwise the
+    single-shot masks), so check internal consistency instead: the custom
+    VJP must equal finite differences through the scanned fwd."""
+    src, dst, et, h, attn, bias = _case(seed=5)
+    n_pad = h.shape[0]
+    sbg = shard_blocked_graph(
+        src, dst, et, n_pad, 3, block_nodes=64, chunk_edges=128
+    )
+    key = jax.random.PRNGKey(11)
+
+    def loss(a_):
+        return jnp.sum(jnp.sin(relgat_propagate_pallas_scanned(
+            h, a_, bias, sbg, attn_dropout_rate=0.3, dropout_rng=key
+        )))
+
+    g = jax.grad(loss)(attn)
+    # directional finite difference
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(attn.shape).astype(np.float32))
+    eps = 1e-3
+    num = (loss(attn + eps * v) - loss(attn - eps * v)) / (2 * eps)
+    ana = jnp.sum(g * v)
+    np.testing.assert_allclose(float(num), float(ana), rtol=2e-2)
+
+
+def test_trainer_with_scan_segments():
+    from relgat_projector_tpu.config import ModelConfig, RunConfig, TrainConfig
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.parallel.pallas_sharded import (
+        ShardedBlockedGraph,
+    )
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=200, num_edges=2000, num_rel=4, emb_dim=16, seed=0
+    )
+
+    def build(scan_segments):
+        run = RunConfig(
+            model=ModelConfig(
+                in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+                gat_num_layers=2, dropout=0.0, project_to_input_size=True,
+                projection_layers=1, use_pallas=True,
+                scan_segments=scan_segments,
+            ),
+            train=TrainConfig(
+                epochs=1, train_batch_size=64, eval_batch_size=64,
+                num_neg=4, lr=1e-3, lr_scheduler="constant",
+                warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
+                log_every_n_steps=10_000,
+                out_dir="/tmp/relgat-scan-seg-test",
+            ),
+        )
+        return RelGATTrainer(
+            run, node2emb, rel2idx, triplets, log_to_console=False
+        )
+
+    t1 = build(0)
+    t2 = build(4)
+    assert isinstance(t2.graph.blocked, ShardedBlockedGraph)
+    assert t2.graph.blocked.num_shards == 4
+
+    t1._single_epoch(1, 1)
+    t2._single_epoch(1, 1)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
+        )
