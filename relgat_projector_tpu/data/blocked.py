@@ -402,6 +402,123 @@ def build_blocked_shards(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ScannedBlockedGraph:
+    """Segment stacks for the memory-bounded SCANNED propagate on one
+    device (``ops/pallas/kernels.py``): the forward scans DST-range
+    segments; the backward scans SRC-range segments.
+
+    Partitioning the backward by src keeps its blocked layouts dense —
+    partitioning it by dst (sharing the forward's segments) scatters each
+    segment's edges over ALL src blocks, and per-block chunk padding then
+    inflates every segment to ~``num_src_blocks * TE`` slots regardless of
+    segment count (measured: 8M edges / 8 segments still produced 3.2M-slot
+    segment streams). ``by_src.src`` stays GLOBAL (for the ``h`` gather);
+    its chunk/block structure lives in the LOCAL src space so each
+    segment's dh rows concatenate.
+    """
+
+    by_dst: BlockedEdges   # stacked [S, ...]; dst LOCAL per segment
+    by_src: BlockedEdges   # stacked [S, ...]; src ids GLOBAL, blocks LOCAL
+    num_shards: int = dataclasses.field(default=1, metadata={"static": True})
+    rows_dst: int = dataclasses.field(default=0, metadata={"static": True})
+    rows_src: int = dataclasses.field(default=0, metadata={"static": True})
+    num_nodes: int = dataclasses.field(default=0, metadata={"static": True})
+
+
+def build_scanned_graph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    etype: np.ndarray,
+    num_nodes: int,
+    num_segments: int,
+    *,
+    block_nodes: int = 128,
+    chunk_edges: int = 512,
+) -> ScannedBlockedGraph:
+    """Host-side build of the dst-/src-partitioned segment stacks.
+    ``num_nodes`` is the padded node count; only REAL edges go in."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    etype = np.asarray(etype, np.int64)
+    s = int(num_segments)
+
+    rows = -(-(-(-num_nodes // s)) // block_nodes) * block_nodes
+
+    def stack_family(key_arr, other_is_dst):
+        shard_of = np.minimum(key_arr // rows, s - 1)
+        dicts = []
+        for g in range(s):
+            sel = shard_of == g
+            sel_idx = np.nonzero(sel)[0]
+            if other_is_dst:
+                # dst-partitioned (forward): dst local, src global.
+                d_loc = dst[sel] - g * rows
+                d = _build_one_np(
+                    d_loc, src[sel], d_loc, etype[sel], rows,
+                    block_nodes, chunk_edges,
+                )
+            else:
+                # src-partitioned (backward): blocks over the LOCAL src
+                # space; stored src ids stay GLOBAL for the h gather, dst
+                # ids stay GLOBAL for the packed-stream gather.
+                s_loc = src[sel] - g * rows
+                d = _build_one_np(
+                    s_loc, src[sel], dst[sel], etype[sel], rows,
+                    block_nodes, chunk_edges,
+                )
+            # GLOBAL canonical edge ids: the forward (dst-partitioned) and
+            # backward (src-partitioned) walk DIFFERENT edge orders, so the
+            # dropout-mask hash key must be partition-independent.
+            if sel_idx.shape[0]:
+                d["edge_of_slot"] = sel_idx[d["edge_of_slot"]].astype(
+                    np.int32
+                )
+            dicts.append(d)
+        cmax = max(d["chunk_block"].shape[0] for d in dicts)
+        emax = max(1, max(d["slot_of_edge"].shape[0] for d in dicts))
+        dicts = [_pad_np(d, cmax, chunk_edges, emax) for d in dicts]
+        st = {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
+        et_d = jnp.asarray(st["etype"])
+        mask_d = jnp.asarray(st["mask"])
+        local_d = jnp.asarray(st["local_seg"])
+        eos_d = jnp.asarray(st["edge_of_slot"])
+        g_n, slots = st["etype"].shape
+        c = slots // chunk_edges
+        meta = _chunk_meta_device(
+            et_d.reshape(g_n * slots),
+            local_d.reshape(g_n * slots),
+            mask_d.reshape(g_n * slots),
+            eos_d.reshape(g_n * slots),
+            chunk_edges,
+        ).reshape(g_n, c, 8, chunk_edges)
+        return BlockedEdges(
+            src=jnp.asarray(st["src"]),
+            dst=jnp.asarray(st["dst"]),
+            etype=et_d,
+            mask=mask_d,
+            local_seg=local_d,
+            chunk_block=jnp.asarray(st["chunk_block"]),
+            slot_of_edge=jnp.asarray(st["slot_of_edge"]),
+            block_nonempty=jnp.asarray(st["block_nonempty"]),
+            chunk_meta=meta,
+            edge_of_slot=eos_d,
+            block_nodes=int(block_nodes),
+            chunk_edges=int(chunk_edges),
+            num_blocks=rows // block_nodes,
+        )
+
+    return ScannedBlockedGraph(
+        by_dst=stack_family(dst, True),
+        by_src=stack_family(src, False),
+        num_shards=s,
+        rows_dst=rows,
+        rows_src=rows,
+        num_nodes=int(num_nodes),
+    )
+
+
 def build_blocked_graph(
     src: np.ndarray,
     dst: np.ndarray,

@@ -50,6 +50,7 @@ class RelGATData:
         blocked: bool = False,
         graph_shards: int = 1,
         halo_shards: int = 0,
+        scan_segments: int = 0,
     ):
         self.rel2idx = dict(rel2idx)
         self.num_rel = len(rel2idx)
@@ -105,6 +106,7 @@ class RelGATData:
             blocked=blocked,
             graph_shards=graph_shards,
             halo_shards=halo_shards,
+            scan_segments=scan_segments,
         )
         # Frozen embeddings padded to the graph's node count.
         self.node_emb = pad_node_embeddings(emb, self.graph.num_nodes)

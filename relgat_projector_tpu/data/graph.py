@@ -65,6 +65,7 @@ def build_graph(
     chunk_edges: int = 512,
     graph_shards: int = 1,
     halo_shards: int = 0,
+    scan_segments: int = 0,
 ) -> GraphData:
     """Build a padded, dst-sorted :class:`GraphData` from host COO arrays.
 
@@ -120,6 +121,21 @@ def build_graph(
     blocked_graph = None
     if halo_graph is not None:
         blocked_graph = halo_graph
+    elif blocked and scan_segments > 1:
+        # Segment stacks for the memory-bounded scanned propagate
+        # (``ops/pallas/kernels.py``): dst-partitioned forward segments,
+        # src-partitioned backward segments.
+        from relgat_projector_tpu.data.blocked import build_scanned_graph
+
+        blocked_graph = build_scanned_graph(
+            src[:num_real_edges],
+            dst[:num_real_edges],
+            etype[:num_real_edges],
+            num_nodes=num_nodes_padded,
+            num_segments=scan_segments,
+            block_nodes=block_nodes,
+            chunk_edges=chunk_edges,
+        )
     elif blocked:
         # Only REAL edges; the blocked layouts make their own masked padding.
         real = (

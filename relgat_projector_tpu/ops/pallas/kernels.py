@@ -64,16 +64,14 @@ def _zero_cotangent(tree):
 
 
 def _segment_fwd(
-    h, attn_bank, rel_bias, blocked, seed,
+    h, attn_bank, rel_bias, be, num_out, seed,
     *, use_bias, negative_slope, eps, attn_dropout_rate, precision,
 ):
-    """Forward over ONE blocked segment/shard (dst space =
-    ``blocked.num_nodes`` rows, sources gathered from the full ``h``).
-    Returns ``(out [rows, H, F], out_blocks, stats)``."""
+    """Forward over ONE blocked layout ``be`` (dst space = ``num_out``
+    rows, sources gathered from the full ``h``).
+    Returns ``(out [num_out, H, F], out_blocks, stats)``."""
     from relgat_projector_tpu.ops.pallas.fused import fused_relgat_forward
 
-    be = blocked.by_dst
-    num_nodes = blocked.num_nodes
     heads, num_rel, f = attn_bank.shape
     td = be.block_nodes
 
@@ -85,12 +83,66 @@ def _segment_fwd(
         attn_dropout_rate=attn_dropout_rate, dropout_seed=seed,
         precision=precision,
     )
-    agg = out_blocks[:num_nodes]
+    agg = out_blocks[:num_out]
     # Blocks with no edges are never written -> garbage; select to zero.
-    node_mask = jnp.repeat(be.block_nonempty, td)[:num_nodes]
+    node_mask = jnp.repeat(be.block_nonempty, td)[:num_out]
     out = jnp.where(node_mask[:, None] > 0, agg, 0.0)
-    out = out.reshape(num_nodes, heads, f)
+    out = out.reshape(num_out, heads, f)
     return out, out_blocks, stats
+
+
+def _packed_stream(g, out_blocks, stats, heads, f):
+    """Per-dst-node backward statistics packed into ONE wide matrix
+    ``[N_out, HF + 8H]``: g rows, then m, l, S = <out - bias, g>, gsum.
+    One wide per-edge gather of this beats separate narrow-row stat
+    gathers, which are pathologically slow on TPU; the kernel slices the
+    columns per chunk in VMEM."""
+    n_out = g.shape[0]
+    hf = heads * f
+    g2 = g.astype(jnp.float32).reshape(n_out, hf)
+    out2 = out_blocks[:n_out]
+    bias_n = stats[:n_out, 2, 0]                       # [N_out]
+    s_nh = jnp.sum(
+        ((out2 - bias_n[:, None]) * g2).reshape(n_out, heads, f), axis=2
+    )                                                  # [N_out, H]
+    return jnp.concatenate(
+        [
+            g2,
+            stats[:n_out, 0, :],
+            stats[:n_out, 1, :],
+            s_nh,
+            jnp.sum(g2, axis=1)[:, None],
+            jnp.zeros((n_out, 5 * heads - 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _bwd_from_packed(
+    h, attn_bank, packed, bs, seed,
+    *, use_bias, negative_slope, eps, attn_dropout_rate, precision,
+):
+    """Backward over ONE src-blocked layout ``bs`` given the packed per-dst
+    stream (``bs.dst`` indexes it). Returns ``(dh_blocks [NB*TD, H*F]
+    — the src-block space of ``bs``, masked; dattn, dbias)``."""
+    from relgat_projector_tpu.ops.pallas.fused import (
+        fused_relgat_backward_src,
+    )
+
+    heads, num_rel, f = attn_bank.shape
+    td = bs.block_nodes
+    ge_all = jnp.take(packed, bs.dst, axis=0)
+    ps_src = _gather_ps(h, bs.src, heads, f)
+    dh_blocks, dattn, dbias = fused_relgat_backward_src(
+        ps_src, ge_all, bs, attn_bank,
+        negative_slope=negative_slope, eps=eps,
+        attn_dropout_rate=attn_dropout_rate, dropout_seed=seed,
+        precision=precision,
+    )
+    n_rows = dh_blocks.shape[0]
+    src_mask = jnp.repeat(bs.block_nonempty, td)[:n_rows]
+    dh_blocks = jnp.where(src_mask[:, None] > 0, dh_blocks, 0.0)
+    return dh_blocks, dattn, dbias
 
 
 def _segment_bwd(
@@ -103,63 +155,19 @@ def _segment_bwd(
 
     The destination (output) node space and the source (input) node space
     are distinct: identical for the single-shot single-device propagate,
-    but a mesh shard or scan segment owns a LOCAL dst range while gathering
-    sources from the shared space."""
-    from relgat_projector_tpu.ops.pallas.fused import (
-        fused_relgat_backward_src,
-    )
-
-    bs = blocked.by_src
+    but a mesh shard owns a LOCAL dst range while gathering sources from
+    the shared space."""
     heads, num_rel, f = attn_bank.shape
-    td = bs.block_nodes
-    n_out = g.shape[0]
     n_pad = h.shape[0]
-    hf = heads * f
-
-    # Per-node backward statistics (tiny XLA work on [N, ...] arrays):
-    # block rows tile nodes contiguously, so node n is stats row n.
-    g2 = g.astype(jnp.float32).reshape(n_out, hf)
-    out2 = out_blocks[:n_out]
-    bias_n = stats[:n_out, 2, 0]                       # [N_out]
-    # Softmax-backward sum: S_{n,h} = <out_n - bias_n, g_n> per head.
-    s_nh = jnp.sum(
-        ((out2 - bias_n[:, None]) * g2).reshape(n_out, heads, f), axis=2
-    )                                                  # [N_out, H]
-    m_n = stats[:n_out, 0, :]                          # [N_out, H]
-    l_n = stats[:n_out, 1, :]
-    gsum_n = jnp.sum(g2, axis=1)                       # [N_out]
-
-    # ONE wide per-edge gather: pack g rows and the per-dst stats into a
-    # single [N, HF + 8H] matrix first. Separate narrow-row stat gathers
-    # (16B rows) are pathologically slow on TPU. ``bs.dst`` indexes the
-    # dst (output) node space.
-    dsts = bs.dst
-    packed = jnp.concatenate(
-        [
-            g2,
-            m_n,
-            l_n,
-            s_nh,
-            gsum_n[:, None],
-            jnp.zeros((n_out, 5 * heads - 1), jnp.float32),
-        ],
-        axis=1,
-    )                                                  # [N_out, HF + 8H]
-    # The packed stream goes to the kernel WHOLE; it slices g/stat columns
-    # per chunk in VMEM (host-side slices materialized multi-GB copies).
-    ge_all = jnp.take(packed, dsts, axis=0)
-    ps_src = _gather_ps(h, bs.src, heads, f)
-
-    dh_blocks, dattn, dbias = fused_relgat_backward_src(
-        ps_src, ge_all, bs, attn_bank,
-        negative_slope=negative_slope, eps=eps,
-        attn_dropout_rate=attn_dropout_rate, dropout_seed=seed,
-        precision=precision,
+    cfg = dict(
+        use_bias=use_bias, negative_slope=negative_slope, eps=eps,
+        attn_dropout_rate=attn_dropout_rate, precision=precision,
     )
-    src_mask = jnp.repeat(bs.block_nonempty, td)[:n_pad]
-    dh = jnp.where(
-        src_mask[:, None] > 0, dh_blocks[:n_pad], 0.0
-    ).reshape(n_pad, heads, f).astype(h.dtype)
+    packed = _packed_stream(g, out_blocks, stats, heads, f)
+    dh_blocks, dattn, dbias = _bwd_from_packed(
+        h, attn_bank, packed, blocked.by_src, seed, **cfg
+    )
+    dh = dh_blocks[:n_pad].reshape(n_pad, heads, f).astype(h.dtype)
     return dh, dattn, dbias
 
 
@@ -182,13 +190,16 @@ def _make_propagate(
 
     @jax.custom_vjp
     def prop(h, attn_bank, rel_bias, blocked, seed):
-        out, _, _ = _segment_fwd(h, attn_bank, rel_bias, blocked, seed,
-                                 **cfg)
+        out, _, _ = _segment_fwd(
+            h, attn_bank, rel_bias, blocked.by_dst, blocked.num_nodes,
+            seed, **cfg,
+        )
         return out
 
     def _vjp_fwd(h, attn_bank, rel_bias, blocked, seed):
         out, out_blocks, stats = _segment_fwd(
-            h, attn_bank, rel_bias, blocked, seed, **cfg
+            h, attn_bank, rel_bias, blocked.by_dst, blocked.num_nodes,
+            seed, **cfg,
         )
         return out, (h, attn_bank, rel_bias, out_blocks, stats, seed,
                      blocked)
@@ -211,23 +222,22 @@ def _make_propagate(
     return prop
 
 
-_SEED_STRIDE = 1000003  # per-segment dropout-seed offset (odd prime)
-
-
 def _make_scanned_propagate(
     use_bias: bool, negative_slope: float, eps: float, precision,
     attn_dropout_rate: float = 0.0,
 ):
-    """Segment-SCANNED propagate: ``lax.scan`` over stacked per-segment
-    blocked layouts (``data/blocked.build_blocked_shards``) so only one
-    segment's ``[E_seg, H*F]`` gather streams are live at a time.
+    """Segment-SCANNED propagate over a ``ScannedBlockedGraph``
+    (``data/blocked.build_scanned_graph``) so only one segment's
+    ``[E_seg, ...]`` gather streams are live at a time.
 
     This is what makes >4M-edge graphs fit one chip: the single-shot
     backward keeps ~3 E-sized per-edge streams in HBM simultaneously
-    (measured 21 GB at 8M edges x H*F=64 on a 16 GB v5e); scanning S
-    segments divides that peak by S while dh/dattn accumulate in
-    node-sized carries. Same math, same kernels, segment-local seeds for
-    the dropout hash."""
+    (measured 21 GB at 8M edges x H*F=64 on a 16 GB v5e). The forward
+    scans DST-range segments (outputs concatenate); the backward scans
+    SRC-range segments against the node-sized packed g/stats stream, so
+    per-segment dh rows concatenate too (dattn/dbias accumulate). Same
+    kernels, same math; dropout masks hash GLOBAL canonical edge ids so
+    both partitions replay identically."""
     cfg = dict(
         use_bias=use_bias, negative_slope=negative_slope, eps=eps,
         attn_dropout_rate=attn_dropout_rate, precision=precision,
@@ -242,18 +252,14 @@ def _make_scanned_propagate(
         s = sbg.num_shards
         heads, _, f = attn_bank.shape
 
-        def seg(_, xs):
-            shard, i = xs
+        def seg(_, be_i):
             out, out_blocks, stats = _segment_fwd(
-                h, attn_bank, rel_bias, shard,
-                seed + i * _SEED_STRIDE, **cfg,
+                h, attn_bank, rel_bias, be_i, sbg.rows_dst, seed, **cfg,
             )
             return None, (out, out_blocks, stats)
 
-        _, (outs, outb, stats) = jax.lax.scan(
-            seg, None, (sbg.shards, jnp.arange(s, dtype=jnp.int32))
-        )
-        out = outs.reshape(s * sbg.rows_per_shard, heads, f)
+        _, (outs, outb, stats) = jax.lax.scan(seg, None, sbg.by_dst)
+        out = outs.reshape(s * sbg.rows_dst, heads, f)
         return out[: sbg.num_nodes], (outb, stats)
 
     def _vjp_fwd(h, attn_bank, rel_bias, sbg, seed):
@@ -262,38 +268,38 @@ def _make_scanned_propagate(
 
     def _vjp_bwd(residuals, g):
         h, attn_bank, rel_bias, outb, stats, seed, sbg = residuals
-        s, rows = sbg.num_shards, sbg.rows_per_shard
+        s, rows_d = sbg.num_shards, sbg.rows_dst
         heads, num_rel, f = attn_bank.shape
+        hf = heads * f
 
+        # Node-sized GLOBAL packed stream (dst rows tile contiguously
+        # across the dst segments: segment s holds rows [s*rows_d, ...)).
         g2 = g.astype(jnp.float32)
-        pad = s * rows - g2.shape[0]
+        pad = s * rows_d - g2.shape[0]
         if pad:
             g2 = jnp.pad(g2, ((0, pad), (0, 0), (0, 0)))
-        g_seg = g2.reshape(s, rows, heads, f)
+        packed = _packed_stream(
+            g2,
+            outb.reshape(s * rows_d, hf),
+            stats.reshape(s * rows_d, 8, heads),
+            heads,
+            f,
+        )
 
-        def seg(carry, xs):
-            dh_acc, dattn_acc, dbias_acc = carry
-            shard, i, g_i, outb_i, stats_i = xs
-            dh, dattn, dbias = _segment_bwd(
-                h, attn_bank, g_i, outb_i, stats_i, shard,
-                seed + i * _SEED_STRIDE, **cfg,
+        def seg(carry, bs_i):
+            dattn_acc, dbias_acc = carry
+            dh_blocks, dattn, dbias = _bwd_from_packed(
+                h, attn_bank, packed, bs_i, seed, **cfg
             )
-            return (
-                dh_acc + dh.astype(jnp.float32),
-                dattn_acc + dattn,
-                dbias_acc + dbias,
-            ), None
+            return (dattn_acc + dattn, dbias_acc + dbias), dh_blocks
 
         init = (
-            jnp.zeros(h.shape, jnp.float32),
             jnp.zeros((heads, num_rel, f), jnp.float32),
             jnp.zeros((num_rel,), jnp.float32),
         )
-        (dh, dattn, dbias), _ = jax.lax.scan(
-            seg, init,
-            (sbg.shards, jnp.arange(s, dtype=jnp.int32), g_seg, outb,
-             stats),
-        )
+        (dattn, dbias), dh_segs = jax.lax.scan(seg, init, sbg.by_src)
+        # Src segments own disjoint contiguous row ranges: concatenate.
+        dh = dh_segs.reshape(s * sbg.rows_src, heads, f)[: h.shape[0]]
         drel = dbias if use_bias else jnp.zeros_like(rel_bias)
         return (
             dh.astype(h.dtype),

@@ -58,10 +58,31 @@ def relgat_propagate(
     shapes throughout (TPU requirement).
     """
     if blocked is not None:
+        from relgat_projector_tpu.data.blocked import ScannedBlockedGraph
         from relgat_projector_tpu.parallel.halo import (
             HaloGraph,
             halo_propagate,
         )
+
+        if isinstance(blocked, ScannedBlockedGraph):
+            # Mesh-less segment stacks: lax.scan the fused kernels over
+            # dst-segments (fwd) / src-segments (bwd) on ONE device —
+            # bounds the per-edge gather memory for huge graphs.
+            from relgat_projector_tpu.ops.pallas.kernels import (
+                relgat_propagate_pallas_scanned,
+            )
+
+            return relgat_propagate_pallas_scanned(
+                h,
+                attn_bank,
+                rel_bias,
+                blocked,
+                negative_slope=negative_slope,
+                eps=eps,
+                attn_dropout_rate=attn_dropout_rate,
+                dropout_rng=dropout_rng,
+                kernel_precision=kernel_precision,
+            )
 
         if isinstance(blocked, HaloGraph):
             # Boundary-only halo exchange over the graph-sharded mesh;
@@ -86,28 +107,18 @@ def relgat_propagate(
         )
 
         if isinstance(blocked, ShardedBlockedGraph):
-            kwargs = dict(
+            # Fused kernels under the graph-sharded mesh: per-device blocked
+            # layouts inside shard_map (one dst range per device).
+            return pallas_sharded_propagate(
+                h,
+                attn_bank,
+                rel_bias,
+                blocked,
                 negative_slope=negative_slope,
                 eps=eps,
                 attn_dropout_rate=attn_dropout_rate,
                 dropout_rng=dropout_rng,
                 kernel_precision=kernel_precision,
-            )
-            if blocked.mesh is None:
-                # Mesh-less segment stack: lax.scan the fused kernels over
-                # the segments on ONE device — bounds the per-edge gather
-                # memory for huge graphs.
-                from relgat_projector_tpu.ops.pallas.kernels import (
-                    relgat_propagate_pallas_scanned,
-                )
-
-                return relgat_propagate_pallas_scanned(
-                    h, attn_bank, rel_bias, blocked, **kwargs
-                )
-            # Fused kernels under the graph-sharded mesh: per-device blocked
-            # layouts inside shard_map (one dst range per device).
-            return pallas_sharded_propagate(
-                h, attn_bank, rel_bias, blocked, **kwargs
             )
 
         from relgat_projector_tpu.ops.pallas import relgat_propagate_pallas

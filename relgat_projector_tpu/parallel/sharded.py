@@ -51,25 +51,16 @@ def place_graph(mesh: Mesh, graph: GraphData) -> GraphData:
         place_sharded_blocked,
     )
 
+    from relgat_projector_tpu.data.blocked import ScannedBlockedGraph
+
     blocked = graph.blocked
     if isinstance(blocked, ShardedBlockedGraph):
-        from relgat_projector_tpu.parallel.mesh import GRAPH_AXIS as _GA
-
-        if mesh.shape[_GA] == blocked.num_shards and blocked.num_shards > 1:
-            blocked = place_sharded_blocked(mesh, blocked)
-        else:
-            # Mesh-less segment stack (scan_segments) under a DP-only mesh:
-            # replicate the segment leaves, keep mesh unattached so the
-            # dispatch stays on the scanned path.
-            blocked = dataclasses.replace(
-                blocked,
-                shards=jax.tree_util.tree_map(
-                    lambda x: jax.device_put(
-                        x, NamedSharding(mesh, P())
-                    ),
-                    blocked.shards,
-                ),
-            )
+        blocked = place_sharded_blocked(mesh, blocked)
+    elif isinstance(blocked, ScannedBlockedGraph):
+        # Segment stacks (scan_segments) under a DP-only mesh: replicate.
+        blocked = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), blocked
+        )
     elif isinstance(blocked, HaloGraph):
         blocked = place_halo_graph(mesh, blocked)
 

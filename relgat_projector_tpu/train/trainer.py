@@ -106,19 +106,20 @@ class RelGATTrainer:
                     and run_config.model.use_pallas
                     and mp == "replicated"
                 )
-                # Mesh-less segment stack: scanned on one device to bound
-                # per-edge gather memory (ModelConfig.scan_segments).
-                else (
-                    run_config.model.scan_segments
-                    if (
-                        run_config.model.use_pallas
-                        and run_config.model.scan_segments > 1
-                        and graph_axis == 1
-                    )
-                    else 1
-                )
+                else 1
             ),
             halo_shards=graph_axis if use_halo else 0,
+            # Mesh-less segment stacks: scanned on one device to bound
+            # per-edge gather memory (ModelConfig.scan_segments).
+            scan_segments=(
+                run_config.model.scan_segments
+                if (
+                    run_config.model.use_pallas
+                    and run_config.model.scan_segments > 1
+                    and graph_axis == 1
+                )
+                else 0
+            ),
         )
         self._use_halo = use_halo
 

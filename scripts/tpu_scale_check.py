@@ -57,7 +57,7 @@ def main():
         rng.integers(0, r, e).astype(np.int32),
         num_nodes=n,
         blocked=True,
-        graph_shards=max(1, args.scan_segments),
+        scan_segments=args.scan_segments,
     )
     print(f"layout build: {time.perf_counter() - t0:.1f}s")
     emb = rng.standard_normal((n, args.emb_dim)).astype(np.float32)

@@ -13,7 +13,7 @@ from relgat_projector_tpu.ops.pallas.kernels import (
     relgat_propagate_pallas,
     relgat_propagate_pallas_scanned,
 )
-from relgat_projector_tpu.parallel.pallas_sharded import shard_blocked_graph
+from relgat_projector_tpu.data.blocked import build_scanned_graph
 
 
 def _case(n_pad=304, e=2500, r=6, heads=2, f=16, seed=0):
@@ -34,10 +34,9 @@ def test_scanned_matches_single_shot_fwd_and_grad():
     n_pad = h.shape[0]
     bg = build_blocked_graph(src, dst, et, n_pad, block_nodes=64,
                              chunk_edges=128)
-    sbg = shard_blocked_graph(
+    sbg = build_scanned_graph(
         src, dst, et, n_pad, 4, block_nodes=64, chunk_edges=128
     )
-    assert sbg.mesh is None
 
     want = np.asarray(relgat_propagate_pallas(h, attn, bias, bg))
     got = np.asarray(relgat_propagate_pallas_scanned(h, attn, bias, sbg))
@@ -72,7 +71,7 @@ def test_scanned_dropout_grads_are_consistent():
     VJP must equal finite differences through the scanned fwd."""
     src, dst, et, h, attn, bias = _case(seed=5)
     n_pad = h.shape[0]
-    sbg = shard_blocked_graph(
+    sbg = build_scanned_graph(
         src, dst, et, n_pad, 3, block_nodes=64, chunk_edges=128
     )
     key = jax.random.PRNGKey(11)
@@ -95,9 +94,7 @@ def test_scanned_dropout_grads_are_consistent():
 def test_trainer_with_scan_segments():
     from relgat_projector_tpu.config import ModelConfig, RunConfig, TrainConfig
     from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
-    from relgat_projector_tpu.parallel.pallas_sharded import (
-        ShardedBlockedGraph,
-    )
+    from relgat_projector_tpu.data.blocked import ScannedBlockedGraph
     from relgat_projector_tpu.train.trainer import RelGATTrainer
 
     node2emb, rel2idx, triplets = generate_synthetic_kg(
@@ -126,7 +123,7 @@ def test_trainer_with_scan_segments():
 
     t1 = build(0)
     t2 = build(4)
-    assert isinstance(t2.graph.blocked, ShardedBlockedGraph)
+    assert isinstance(t2.graph.blocked, ScannedBlockedGraph)
     assert t2.graph.blocked.num_shards == 4
 
     t1._single_epoch(1, 1)
