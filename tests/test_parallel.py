@@ -170,3 +170,47 @@ def test_graft_entry_points():
     assert np.isfinite(np.asarray(out[0])).all()
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_trainer_gspmd_mode_matches_single_device():
+    """mesh_propagate='gspmd' (placement-only XLA path) stays supported and
+    exact now that 'halo' is the default."""
+    from relgat_projector_tpu.config import MeshConfig, RunConfig
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=160, num_edges=1600, num_rel=4, emb_dim=16, seed=0
+    )
+
+    def build(mesh_cfg):
+        run = RunConfig(
+            model=ModelConfig(
+                in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+                gat_num_layers=1, dropout=0.0, project_to_input_size=True,
+                projection_layers=1, mesh_propagate="gspmd",
+            ),
+            train=TrainConfig(
+                epochs=1, train_batch_size=64, eval_batch_size=64,
+                num_neg=4, lr=1e-3, lr_scheduler="constant",
+                warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
+                log_every_n_steps=10_000, out_dir="/tmp/relgat-gspmd-test",
+            ),
+            mesh=mesh_cfg,
+        )
+        return RelGATTrainer(
+            run, node2emb, rel2idx, triplets, log_to_console=False
+        )
+
+    t1 = build(MeshConfig())
+    t2 = build(MeshConfig(data_axis=4, graph_axis=2))
+    assert t2.graph.blocked is None  # plain sharded edge lists
+    t1._single_epoch(1, 1)
+    t2._single_epoch(1, 1)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
+        )

@@ -65,30 +65,54 @@ def test_scanned_matches_single_shot_fwd_and_grad():
     np.testing.assert_allclose(got_j, want, rtol=1e-5, atol=1e-5)
 
 
-def test_scanned_dropout_grads_are_consistent():
-    """With dropout the masks are segment-local (not bitwise the
-    single-shot masks), so check internal consistency instead: the custom
-    VJP must equal finite differences through the scanned fwd."""
+def test_scanned_dropout_matches_xla_bitwise():
+    """The scanned layouts hash GLOBAL canonical edge ids (positions in
+    the edge array fed to build), which is the same id space the XLA path
+    uses (arange over the dst-sorted edges) — so for dst-sorted input the
+    masks are IDENTICAL and fwd + grads must match the XLA path exactly,
+    proving the dst-partitioned forward and src-partitioned backward
+    replay the same mask."""
+    from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
+
     src, dst, et, h, attn, bias = _case(seed=5)
     n_pad = h.shape[0]
+    n = n_pad - 4
+    order = np.argsort(dst, kind="stable")
+    src, dst, et = src[order], dst[order], et[order]
     sbg = build_scanned_graph(
         src, dst, et, n_pad, 3, block_nodes=64, chunk_edges=128
     )
     key = jax.random.PRNGKey(11)
+    kw = dict(attn_dropout_rate=0.3, dropout_rng=key)
 
-    def loss(a_):
+    want = relgat_propagate(
+        h, attn, bias, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
+        num_nodes=n_pad, edges_sorted_by_dst=True, **kw,
+    )
+    got = relgat_propagate_pallas_scanned(h, attn, bias, sbg, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got)[:n], np.asarray(want)[:n], rtol=1e-5, atol=1e-6
+    )
+    # Dropout actually drops.
+    base = relgat_propagate_pallas_scanned(h, attn, bias, sbg)
+    assert np.abs(np.asarray(base) - np.asarray(got)).max() > 1e-3
+
+    def loss_sc(h_, a_, b_):
         return jnp.sum(jnp.sin(relgat_propagate_pallas_scanned(
-            h, a_, bias, sbg, attn_dropout_rate=0.3, dropout_rng=key
-        )))
+            h_, a_, b_, sbg, **kw)[:n]))
 
-    g = jax.grad(loss)(attn)
-    # directional finite difference
-    rng = np.random.default_rng(0)
-    v = jnp.asarray(rng.standard_normal(attn.shape).astype(np.float32))
-    eps = 1e-3
-    num = (loss(attn + eps * v) - loss(attn - eps * v)) / (2 * eps)
-    ana = jnp.sum(g * v)
-    np.testing.assert_allclose(float(num), float(ana), rtol=2e-2)
+    def loss_x(h_, a_, b_):
+        return jnp.sum(jnp.sin(relgat_propagate(
+            h_, a_, b_, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(et), num_nodes=n_pad, edges_sorted_by_dst=True,
+            **kw)[:n]))
+
+    gs = jax.grad(loss_sc, argnums=(0, 1, 2))(h, attn, bias)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(h, attn, bias)
+    for a, b in zip(gs, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
 
 
 def test_trainer_with_scan_segments():
