@@ -348,6 +348,29 @@ def _bwd_src_kernel(
         precision=hi,
     )                                                     # [TE, H*F]
 
+    # All-heads SDDMM recompute + dalpha via TWO block-diagonal MXU passes
+    # instead of 2*H per-head [TE, F] lane reductions (VPU chains were the
+    # backward's bottleneck): (ps * x) @ blockdiag[HF, H].
+    hf0 = heads * f
+    ps_all = ps_ref[:]                                    # [TE, H*F]
+    g_all = ge_ref[:, :hf0]                               # [TE, H*F]
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 0) // f
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 1)
+    bd = (col_h == row_h).astype(jnp.float32)             # [HF, H]
+    eraw_all = jnp.dot(
+        ps_all * rel_att_all, bd, preferred_element_type=jnp.float32,
+        precision=hi,
+    )                                                     # [TE, H]
+    dalpha_all = jnp.dot(
+        ps_all * g_all, bd, preferred_element_type=jnp.float32,
+        precision=hi,
+    )                                                     # [TE, H]
+
+    # Remaining per-head work stays on [TE] vectors + [TE, F] broadcasts:
+    # a fully-vectorized [TE, H] panel variant (all-heads alpha/de + two
+    # [TE, H] @ [H, H*F] expansion matmuls) measured SLOWER (80.6 vs
+    # 75.8 ms fwd+bwd at 1M edges) — H=4 lanes pad to 128 (32x VPU waste)
+    # and the K=4 matmuls cost more than the broadcasts they replace.
     contrib_cols = []
     deps_cols = []
     for h in range(heads):
@@ -356,13 +379,12 @@ def _bwd_src_kernel(
         g_h = ge_ref[:, sl]                               # [TE, F]
         rel_att = rel_att_all[:, sl]                      # [TE, F]
 
-        hf0 = heads * f
         m_e = ge_ref[:, hf0 + h]                          # [TE]
         l_e = jnp.maximum(ge_ref[:, hf0 + heads + h], eps)  # [TE]
         s_e = ge_ref[:, hf0 + 2 * heads + h]              # [TE]
         m_safe = jnp.where(m_e <= _NEG * 0.5, 0.0, m_e)
 
-        eraw = jnp.sum(ps_h * rel_att, axis=1)            # [TE]
+        eraw = eraw_all[:, h]                             # [TE]
         e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
         alpha = jnp.exp(e_h - m_safe) / l_e * maskf       # [TE]
 
@@ -372,7 +394,7 @@ def _bwd_src_kernel(
         # dalpha -> k * <ps, g>; the softmax-backward sum S (computed from
         # out·g, which already includes the dropout) is unchanged.
         aw = alpha
-        dalpha = jnp.sum(ps_h * g_h, axis=1)              # [TE]
+        dalpha = dalpha_all[:, h]                         # [TE]
         if attn_dropout_rate > 0.0:
             from relgat_projector_tpu.ops.dropout import edge_keep_mask
 
@@ -389,6 +411,7 @@ def _bwd_src_kernel(
         deps_cols.append(de[:, None] * ps_h)
 
     contrib = jnp.concatenate(contrib_cols, axis=1)       # [TE, H*F]
+    deps = jnp.concatenate(deps_cols, axis=1)             # [TE, H*F]
     partial = jnp.dot(
         onehot_s, contrib, preferred_element_type=jnp.float32, precision=hi,
     )                                                     # [TD, H*F]
@@ -403,7 +426,6 @@ def _bwd_src_kernel(
 
     # One [R, TE] @ [TE, H*F] matmul for all heads' dattn contributions
     # (N=H*F utilizes the MXU far better than per-head N=F passes).
-    deps = jnp.concatenate(deps_cols, axis=1)             # [TE, H*F]
     dattn_ref[:] += jnp.dot(
         onehot_r.T, deps, preferred_element_type=jnp.float32, precision=hi,
     )

@@ -83,7 +83,11 @@ def main():
     rows = []
 
     def sync_any(x):
-        leaf = jax.tree_util.tree_leaves(x)[0]
+        # Smallest leaf: device_get transfers the WHOLE array through the
+        # (slow) relay, so syncing on e.g. a [N,H,F] grad would swamp the
+        # measurement; the smallest leaf (a bias/scalar) costs ~nothing and
+        # still orders after every queued dispatch on this single stream.
+        leaf = min(jax.tree_util.tree_leaves(x), key=lambda a: a.size)
         _ = np.asarray(jax.device_get(leaf)).ravel()[:1]
 
     # --- full step (non-donated state so we can reuse it) ---------------

@@ -389,3 +389,54 @@ def test_scanned_cadence_under_nonfinite_skips():
     skipped = sum(1 for i in range(n_batches) if i % 4 == 1) * 2
     assert int(t.state.step) == 2 * n_batches - skipped
     assert int(t.state.nonfinite_steps) == skipped
+
+
+def test_resume_on_mesh_trainer(tmp_path):
+    """Preemption recovery under sharding: a mesh trainer (Pallas + halo)
+    saves, a fresh mesh trainer resumes the full train state and the
+    restored state is correctly placed (training continues)."""
+    from relgat_projector_tpu.config import (
+        MeshConfig, ModelConfig, RunConfig, TrainConfig,
+    )
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=160, num_edges=1600, num_rel=4, emb_dim=16, seed=0
+    )
+
+    def build():
+        run = RunConfig(
+            model=ModelConfig(
+                in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+                gat_num_layers=1, dropout=0.0, project_to_input_size=True,
+                projection_layers=1, use_pallas=True,
+            ),
+            train=TrainConfig(
+                epochs=1, train_batch_size=64, eval_batch_size=64,
+                num_neg=4, lr=1e-3, lr_scheduler="constant",
+                warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
+                log_every_n_steps=10_000, out_dir=str(tmp_path),
+            ),
+            mesh=MeshConfig(data_axis=2, graph_axis=4),
+        )
+        return RelGATTrainer(
+            run, node2emb, rel2idx, triplets, log_to_console=False
+        )
+
+    tr = build()
+    tr.train()
+    step_after = int(tr.state.step)
+    assert step_after > 0
+
+    tr2 = build()
+    assert tr2.maybe_resume()
+    assert int(tr2.state.step) == step_after
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.state.params),
+        jax.tree_util.tree_leaves(tr2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # And training continues from the restored state on the mesh.
+    tr2._single_epoch(1, 1)
+    assert int(tr2.state.step) > step_after
