@@ -149,6 +149,11 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="graph-axis strategy: boundary-only halo exchange "
                         "(default), replicated features + per-device "
                         "kernels, or GSPMD psums")
+    p.add_argument("--no-halo-overlap", dest="halo_overlap",
+                   action="store_false", default=True,
+                   help="disable the halo mode's local/remote edge split "
+                        "(which overlaps the boundary all_to_all with "
+                        "local aggregation)")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() before training "
                         "(multi-host; auto-detected on TPU pods)")
@@ -208,6 +213,7 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         remat=args.remat,
         scan_segments=args.scan_segments,
         mesh_propagate=args.mesh_propagate,
+        halo_overlap=args.halo_overlap,
     )
     train = TrainConfig(
         epochs=args.epochs,

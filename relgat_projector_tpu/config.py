@@ -95,6 +95,9 @@ class ModelConfig:
     # parallel/halo.py) | "replicated" (replicated features, per-device
     # blocked shards, parallel/pallas_sharded.py) | "gspmd" (XLA-inserted
     # psums of full [N,...] partials over sharded edge lists)
+    halo_overlap: bool = True      # "halo" mode: split local-/remote-source
+    # edges so the boundary all_to_all overlaps with local aggregation
+    # (flash-style softmax-state merge; parallel/halo.py)
 
     def __post_init__(self) -> None:
         if self.scorer_type.lower() not in ("distmult", "transe"):

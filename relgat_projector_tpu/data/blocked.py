@@ -27,7 +27,7 @@ host->device transfer through this image's relay, BENCH_NOTES.md).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -309,7 +309,7 @@ class BlockedGraph:
 
 
 def build_blocked_shards(
-    per_shard_edges: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    per_shard_edges: Sequence[Tuple[np.ndarray, ...]],
     dst_space: int,
     src_space: int,
     *,
@@ -322,6 +322,10 @@ def build_blocked_shards(
     shard — with ``dst`` in the LOCAL output space ``[0, dst_space)`` and
     ``src`` in the shared gather space ``[0, src_space)`` (global node ids
     for the replicated-feature path, halo-buffer ids for the halo path).
+    An optional 4th element per shard gives each edge's CANONICAL id for
+    the dropout hash (``ops/dropout.py``) — used by the overlapped halo
+    path, whose local/remote edge SUBSETS must replay the same masks as
+    the unsplit layout; defaults to position in the shard's edge list.
     Shards are padded HOST-SIDE to a common chunk count, stacked, and
     transferred once (``chunk_meta`` built on device). Consumed inside
     ``shard_map`` (``parallel/pallas_sharded.py``, ``parallel/halo.py``)
@@ -329,10 +333,12 @@ def build_blocked_shards(
     """
     per_dst: List[dict] = []
     per_src: List[dict] = []
-    for s, d, e in per_shard_edges:
-        s = np.asarray(s, np.int64)
-        d = np.asarray(d, np.int64)
-        e = np.asarray(e, np.int64)
+    eid_maps: List[Optional[np.ndarray]] = []
+    for tup in per_shard_edges:
+        s, d, e = (np.asarray(x, np.int64) for x in tup[:3])
+        eid_maps.append(
+            np.asarray(tup[3], np.int64) if len(tup) > 3 else None
+        )
         per_dst.append(
             _build_one_np(d, s, d, e, dst_space, block_nodes, chunk_edges)
         )
@@ -360,6 +366,13 @@ def build_blocked_shards(
         else:
             perm = np.zeros(n_slots, np.int64)
         perms.append(perm.astype(np.int32))
+        # Remap slot -> CANONICAL edge id for the dropout hash (after the
+        # perm above, which needs the input-list-indexed form).
+        if eid_maps[g] is not None and eid_maps[g].shape[0] > 0:
+            for part in (per_dst[g], per_src[g]):
+                part["edge_of_slot"] = eid_maps[g][
+                    part["edge_of_slot"]
+                ].astype(np.int64)
 
     def stacked_edges(dicts, space):
         st = {

@@ -50,6 +50,7 @@ class RelGATData:
         blocked: bool = False,
         graph_shards: int = 1,
         halo_shards: int = 0,
+        halo_overlap: bool = False,
         scan_segments: int = 0,
     ):
         self.rel2idx = dict(rel2idx)
@@ -106,6 +107,7 @@ class RelGATData:
             blocked=blocked,
             graph_shards=graph_shards,
             halo_shards=halo_shards,
+            halo_overlap=halo_overlap,
             scan_segments=scan_segments,
         )
         # Frozen embeddings padded to the graph's node count.

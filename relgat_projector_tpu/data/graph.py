@@ -65,6 +65,7 @@ def build_graph(
     chunk_edges: int = 512,
     graph_shards: int = 1,
     halo_shards: int = 0,
+    halo_overlap: bool = False,
     scan_segments: int = 0,
 ) -> GraphData:
     """Build a padded, dst-sorted :class:`GraphData` from host COO arrays.
@@ -101,6 +102,7 @@ def build_graph(
             blocked=blocked,
             block_nodes=block_nodes,
             chunk_edges=chunk_edges,
+            overlap=halo_overlap,
         )
 
     # Always reserve at least one padded node row to absorb padded edges.

@@ -115,6 +115,10 @@ def _fused_kernel(
         precision=hi,
     )                                                     # [TE, H*F]
 
+    # NB: routing the SDDMM through the backward's block-diagonal MXU trick
+    # measured neutral-to-worse here (76.7 vs 75.8 ms fwd+bwd) — the
+    # forward is bound by the per-head [TD, TE] segment max/sum work, not
+    # this reduction; keep the simple per-head form.
     out_cols = []
     m_rows, l_rows = [], []
     for h in range(heads):

@@ -222,6 +222,197 @@ def _make_propagate(
     return prop
 
 
+_NEG = float(-1e30)  # fused-kernel "no edge yet" max sentinel
+
+
+def _unpack_block_partials(out_blocks, stats, nonempty, heads, f, eps):
+    """Recover flash-merge state ``(m, l, bias, acc)`` from one fused
+    forward's outputs. Rows of edge-less blocks are unwritten garbage —
+    masked to the neutral element (m = -1e30, l = 0, acc = 0, bias = 0).
+    ``acc`` un-normalizes with the kernel's own denominator convention
+    (``max(l, eps)``), so rows a subset never touched recover exactly 0."""
+    ne = nonempty
+    m = jnp.where(ne[:, None] > 0, stats[:, 0, :], _NEG)   # [N, H]
+    l = jnp.where(ne[:, None] > 0, stats[:, 1, :], 0.0)    # [N, H]
+    b = jnp.where(ne > 0, stats[:, 2, 0], 0.0)             # [N]
+    out = jnp.where(ne[:, None] > 0, out_blocks, 0.0)      # [N, H*F]
+    denom = jnp.repeat(jnp.maximum(l, eps), f, axis=1)     # [N, H*F]
+    acc = (out - b[:, None]) * denom
+    return m, l, b, acc
+
+
+def _merge_block_partials(parts, heads, f, eps):
+    """Flash-style merge of per-subset ``(m, l, bias, acc)`` into merged
+    ``(out_blocks [N, H*F], stats [N, 8, H])`` in the fused kernels' own
+    stats format, so the src-blocked backward runs per subset against the
+    MERGED statistics (each edge's alpha is recomputed from the global
+    (m, l) — the gradient decomposes additively over subsets)."""
+    m = parts[0][0]
+    for p in parts[1:]:
+        m = jnp.maximum(m, p[0])
+    m_fin = jnp.where(m <= _NEG * 0.5, 0.0, m)
+    l_tot, b_tot, acc_tot = None, None, None
+    for m_p, l_p, b_p, acc_p in parts:
+        s = jnp.where(m_p <= _NEG * 0.5, 0.0, jnp.exp(m_p - m_fin))
+        l_c = l_p * s
+        acc_c = acc_p * jnp.repeat(s, f, axis=1)
+        l_tot = l_c if l_tot is None else l_tot + l_c
+        acc_tot = acc_c if acc_tot is None else acc_tot + acc_c
+        b_tot = b_p if b_tot is None else b_tot + b_p
+    out = acc_tot / jnp.repeat(
+        jnp.maximum(l_tot, eps), f, axis=1
+    ) + b_tot[:, None]
+    n = out.shape[0]
+    stats = jnp.stack(
+        [
+            m,
+            l_tot,
+            jnp.broadcast_to(b_tot[:, None], (n, heads)),
+        ]
+        + [jnp.zeros((n, heads), jnp.float32)] * 5,
+        axis=1,
+    )
+    return out, stats
+
+
+def _make_overlapped_propagate(
+    use_bias: bool, negative_slope: float, eps: float, precision,
+    attn_dropout_rate: float = 0.0,
+):
+    """Custom-VJP propagate over TWO disjoint edge subsets of the same
+    destination rows with SEPARATE gather spaces — the fused-kernel side
+    of the overlapped halo exchange (``parallel/halo.py``).
+
+    The local subset gathers from ``h_own`` (this shard's rows) and the
+    remote subset from the received halo buffer, so the boundary
+    ``all_to_all`` (outside this function) has no data dependence on the
+    local subset's forward — XLA's scheduler can overlap it with the
+    local aggregation. Outputs merge flash-style; the backward runs the
+    src-blocked kernel once per subset against the merged statistics and
+    returns separate ``(dh_own, dhalo)`` cotangents (the exchange's AD
+    transpose routes ``dhalo`` back to its owners)."""
+    cfg = dict(
+        use_bias=use_bias, negative_slope=negative_slope, eps=eps,
+        attn_dropout_rate=attn_dropout_rate, precision=precision,
+    )
+
+    def _fwd_parts(h_own, halo, attn_bank, rel_bias, bl_loc, bl_rem, seed):
+        heads, _, f = attn_bank.shape
+        rows = h_own.shape[0]
+        td = bl_loc.by_dst.block_nodes
+
+        def one(h_src, bl):
+            _, out_blocks, stats = _segment_fwd(
+                h_src, attn_bank, rel_bias, bl.by_dst, rows, seed, **cfg,
+            )
+            ne = jnp.repeat(bl.by_dst.block_nonempty, td)
+            return _unpack_block_partials(
+                out_blocks, stats, ne, heads, f, eps
+            ), ne
+
+        p_loc, ne_l = one(h_own, bl_loc)
+        p_rem, ne_r = one(halo, bl_rem)
+        outb, stats = _merge_block_partials([p_loc, p_rem], heads, f, eps)
+        ne_any = jnp.maximum(ne_l, ne_r)
+        out = jnp.where(ne_any[:rows, None] > 0, outb[:rows], 0.0)
+        return out.reshape(rows, heads, f), outb, stats
+
+    @jax.custom_vjp
+    def prop(h_own, halo, attn_bank, rel_bias, bl_loc, bl_rem, seed):
+        out, _, _ = _fwd_parts(
+            h_own, halo, attn_bank, rel_bias, bl_loc, bl_rem, seed
+        )
+        return out
+
+    def _vjp_fwd(h_own, halo, attn_bank, rel_bias, bl_loc, bl_rem, seed):
+        out, outb, stats = _fwd_parts(
+            h_own, halo, attn_bank, rel_bias, bl_loc, bl_rem, seed
+        )
+        return out, (
+            h_own, halo, attn_bank, rel_bias, outb, stats, seed,
+            bl_loc, bl_rem,
+        )
+
+    def _vjp_bwd(residuals, g):
+        (h_own, halo, attn_bank, rel_bias, outb, stats, seed,
+         bl_loc, bl_rem) = residuals
+        heads, num_rel, f = attn_bank.shape
+        packed = _packed_stream(
+            g.astype(jnp.float32), outb, stats, heads, f
+        )
+        dh_own_b, dattn_a, dbias_a = _bwd_from_packed(
+            h_own, attn_bank, packed, bl_loc.by_src, seed, **cfg
+        )
+        dhalo_b, dattn_b, dbias_b = _bwd_from_packed(
+            halo, attn_bank, packed, bl_rem.by_src, seed, **cfg
+        )
+        dh_own = (
+            dh_own_b[: h_own.shape[0]]
+            .reshape(h_own.shape)
+            .astype(h_own.dtype)
+        )
+        dhalo = (
+            dhalo_b[: halo.shape[0]].reshape(halo.shape).astype(halo.dtype)
+        )
+        dattn = (dattn_a + dattn_b).astype(attn_bank.dtype)
+        drel = (
+            (dbias_a + dbias_b) if use_bias else jnp.zeros_like(rel_bias)
+        )
+        return (
+            dh_own, dhalo, dattn, drel,
+            _zero_cotangent(bl_loc), _zero_cotangent(bl_rem),
+            _zero_cotangent(seed),
+        )
+
+    prop.defvjp(_vjp_fwd, _vjp_bwd)
+    return prop
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_overlapped_propagate(
+    use_bias: bool, negative_slope: float, eps: float, precision: str,
+    attn_dropout_rate: float = 0.0,
+):
+    return _make_overlapped_propagate(
+        use_bias, float(negative_slope), float(eps),
+        _PRECISIONS[precision], attn_dropout_rate,
+    )
+
+
+def relgat_propagate_pallas_overlapped(
+    h_own: jax.Array,          # [rows, H, F] this shard's feature rows
+    halo: jax.Array,           # [G*Hp, H, F] received boundary rows
+    attn_bank: jax.Array,
+    rel_bias: Optional[jax.Array],
+    bl_loc: BlockedGraph,      # local-src edges (src space = rows)
+    bl_rem: BlockedGraph,      # remote-src edges (src space = G*Hp)
+    *,
+    negative_slope: float = 0.2,
+    eps: float = STABLE_SOFTMAX_EPS,
+    attn_dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    kernel_precision: str = "highest",
+) -> jax.Array:
+    """Fused-kernel propagate for the overlapped halo exchange: local and
+    remote edge subsets aggregate separately (local needs only ``h_own``,
+    so it can hide the boundary ``all_to_all``) and merge flash-style."""
+    use_dropout = attn_dropout_rate > 0.0 and dropout_rng is not None
+    use_bias = rel_bias is not None
+    prop = _cached_overlapped_propagate(
+        use_bias, float(negative_slope), float(eps), kernel_precision,
+        float(attn_dropout_rate) if use_dropout else 0.0,
+    )
+    num_rel = attn_bank.shape[1]
+    bias_arg = rel_bias if use_bias else jnp.zeros((num_rel,), jnp.float32)
+    if use_dropout:
+        from relgat_projector_tpu.ops.dropout import seed_from_key
+
+        seed = seed_from_key(dropout_rng)
+    else:
+        seed = jnp.int32(0)
+    return prop(h_own, halo, attn_bank, bias_arg, bl_loc, bl_rem, seed)
+
+
 def _make_scanned_propagate(
     use_bias: bool, negative_slope: float, eps: float, precision,
     attn_dropout_rate: float = 0.0,

@@ -135,6 +135,24 @@ def relgat_propagate(
             kernel_precision=kernel_precision,
         )
 
+    return _xla_propagate(
+        h, attn_bank, rel_bias, src, dst, etype,
+        num_nodes=num_nodes,
+        negative_slope=negative_slope,
+        eps=eps,
+        attn_dropout_rate=attn_dropout_rate,
+        dropout_rng=dropout_rng,
+        edges_sorted_by_dst=edges_sorted_by_dst,
+        edge_mask=edge_mask,
+        dropout_edge_ids=dropout_edge_ids,
+    )
+
+
+def _xla_propagate(
+    h, attn_bank, rel_bias, src, dst, etype, *,
+    num_nodes, negative_slope, eps, attn_dropout_rate, dropout_rng,
+    edges_sorted_by_dst, edge_mask, dropout_edge_ids,
+):
     proj_src = jnp.take(h, src, axis=0)                    # [E, H, F]
     rel_att = jnp.take(attn_bank, etype, axis=1)           # [H, E, F]
     rel_att = jnp.swapaxes(rel_att, 0, 1)                  # [E, H, F]
@@ -191,3 +209,122 @@ def relgat_propagate(
         out = out + bias_n[:, None, None]
 
     return out
+
+
+def relgat_propagate_partial(
+    h: jax.Array,              # [N_src, H, F] gather space for THIS subset
+    attn_bank: jax.Array,      # [H, R, F]
+    rel_bias: Optional[jax.Array],
+    src: jax.Array,            # [E_sub] int32 (ids into h's rows)
+    dst: jax.Array,            # [E_sub] int32 (local output rows)
+    etype: jax.Array,          # [E_sub] int32
+    *,
+    num_out: int,
+    negative_slope: float = 0.2,
+    attn_dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    edge_mask: Optional[jax.Array] = None,
+    edges_sorted_by_dst: bool = False,
+    dropout_edge_ids: Optional[jax.Array] = None,
+):
+    """UN-normalized propagate partials over an edge SUBSET, for
+    flash-style merging across subsets (``merge_propagate_partials``).
+
+    The overlapped halo exchange (``parallel/halo.py``) splits each
+    shard's edges into local-source and remote-source subsets so the
+    boundary ``all_to_all`` can hide behind the local subset's
+    aggregation; per (dst row, head) this returns the online-softmax
+    state instead of the normalized output:
+
+    - ``m``   ``[num_out, H]``  true per-dst max logit (-inf if none),
+    - ``l``   ``[num_out, H]``  sum of ``exp(e - m)`` (un-dropped),
+    - ``acc`` ``[num_out, H, F]`` sum of ``exp(e - m) * keep * msg``,
+    - ``bias`` ``[num_out]``   per-relation scalar bias sum.
+
+    ``dropout_edge_ids`` must carry CANONICAL edge ids so the masks match
+    the unsplit propagate for the same seed (``ops/dropout.py``).
+    """
+    proj_src = jnp.take(h, src, axis=0)                    # [E, H, F]
+    rel_att = jnp.swapaxes(
+        jnp.take(attn_bank, etype, axis=1), 0, 1
+    )                                                      # [E, H, F]
+    e = jnp.sum(proj_src * rel_att, axis=-1)               # [E, H]
+    e = jax.nn.leaky_relu(e, negative_slope=negative_slope)
+    if edge_mask is not None:
+        e = jnp.where(edge_mask[:, None] > 0, e, -jnp.inf)
+
+    from relgat_projector_tpu.ops.segment import segment_max
+
+    m = segment_max(
+        e, dst, num_out, indices_are_sorted=edges_sorted_by_dst
+    )                                                      # [num_out, H]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.exp(e - m_safe[dst])                           # [E, H]; 0 if masked
+    l = segment_sum(
+        w, dst, num_out, indices_are_sorted=edges_sorted_by_dst
+    )                                                      # [num_out, H]
+
+    w_acc = w
+    if attn_dropout_rate > 0.0 and dropout_rng is not None:
+        from relgat_projector_tpu.ops.dropout import (
+            edge_keep_mask_all_heads,
+            seed_from_key,
+        )
+
+        eids = (
+            dropout_edge_ids
+            if dropout_edge_ids is not None
+            else jnp.arange(src.shape[0], dtype=jnp.int32)
+        )
+        keep = edge_keep_mask_all_heads(
+            eids, e.shape[1], seed_from_key(dropout_rng), attn_dropout_rate
+        )
+        w_acc = w * keep / (1.0 - attn_dropout_rate)
+
+    acc = segment_sum(
+        proj_src * w_acc[..., None], dst, num_out,
+        indices_are_sorted=edges_sorted_by_dst,
+    )                                                      # [num_out, H, F]
+
+    if rel_bias is not None:
+        bias_e = jnp.take(rel_bias, etype)
+        if edge_mask is not None:
+            bias_e = bias_e * edge_mask
+        bias_n = segment_sum(
+            bias_e, dst, num_out, indices_are_sorted=edges_sorted_by_dst
+        )
+    else:
+        bias_n = jnp.zeros((num_out,), jnp.float32)
+    return acc, m, l, bias_n
+
+
+def merge_propagate_partials(
+    parts,
+    *,
+    eps: float = STABLE_SOFTMAX_EPS,
+) -> jax.Array:
+    """Merge ``(acc, m, l, bias)`` partials from disjoint edge subsets of
+    the same destination rows into the normalized aggregate ``[N, H, F]``.
+
+    Algebraically identical to one softmax over the union (flash-attention
+    state merging): rescale each subset's ``l``/``acc`` by
+    ``exp(m_subset - m_global)`` and normalize once, with the reference's
+    ``1e-16`` denominator clamp (``layer.py:291``) applied at the end."""
+    ms = [p[1] for p in parts]
+    m = ms[0]
+    for m_p in ms[1:]:
+        m = jnp.maximum(m, m_p)
+    m_fin = jnp.where(jnp.isfinite(m), m, 0.0)
+
+    l_tot = None
+    acc_tot = None
+    bias_tot = None
+    for acc_p, m_p, l_p, bias_p in parts:
+        s = jnp.where(jnp.isfinite(m_p), jnp.exp(m_p - m_fin), 0.0)
+        l_c = l_p * s
+        acc_c = acc_p * s[..., None]
+        l_tot = l_c if l_tot is None else l_tot + l_c
+        acc_tot = acc_c if acc_tot is None else acc_tot + acc_c
+        bias_tot = bias_p if bias_tot is None else bias_tot + bias_p
+    out = acc_tot / jnp.maximum(l_tot, eps)[..., None]
+    return out + bias_tot[:, None, None]

@@ -26,12 +26,15 @@ The reference has no distributed code of any kind to translate
 subsystem is the TPU-native scale-out design mandated by SURVEY.md
 §2.3/§5.7/§5.8.
 
-Comm/compute overlap note: XLA schedules the all_to_all before the first
-gather of ``h_halo``; splitting local-source edges from remote-source edges
-to hide the exchange behind local aggregation requires flash-style (m, l)
-softmax-state merging across the two partial propagates — measured
-unnecessary at current scales (the exchange is boundary-sized), revisit for
-pod-scale graphs.
+Comm/compute overlap (``overlap=True``, the trainer default): each shard's
+edges are pre-split into LOCAL-source edges (aggregated straight from the
+shard's own rows, no dependence on the exchange) and REMOTE-source edges
+(aggregated from the received halo buffer); the two partial aggregations
+carry online-softmax state and merge flash-style
+(``_halo_propagate_overlapped``), so the boundary ``all_to_all`` can run
+concurrently with the local subset's SDDMM/segment work instead of
+serializing exchange -> aggregate. Numerics (incl. dropout masks) are
+identical to the unsplit path — tests/test_halo.py.
 """
 
 from __future__ import annotations
@@ -73,6 +76,27 @@ class HaloGraph:
     # Optional per-device block-padded layouts for the fused Pallas kernels
     # (by_dst over the local dst range, by_src over the HALO space).
     blocked: object = None
+    # --- comm/compute-overlap split (built with ``overlap=True``) -------
+    # Each shard's edges split into LOCAL-source (src in own rows — no
+    # dependence on the all_to_all, aggregates while the exchange is in
+    # flight) and REMOTE-source (src in the received halo buffer) subsets;
+    # ``*_eid`` carries canonical per-shard edge ids so dropout masks
+    # match the unsplit layout (``ops/dropout.py``).
+    loc_src: object = None     # [G, E_loc] int32 (own-rows space)
+    loc_dst: object = None     # [G, E_loc] int32
+    loc_etype: object = None   # [G, E_loc] int32
+    loc_mask: object = None    # [G, E_loc] float32
+    loc_eid: object = None     # [G, E_loc] int32
+    rem_src: object = None     # [G, E_rem] int32 (halo-BUFFER space)
+    rem_dst: object = None     # [G, E_rem] int32
+    rem_etype: object = None   # [G, E_rem] int32
+    rem_mask: object = None    # [G, E_rem] float32
+    rem_eid: object = None     # [G, E_rem] int32
+    blocked_loc: object = None  # BlockedGraph, src space = rows
+    blocked_rem: object = None  # BlockedGraph, src space = G*Hp
+    overlap: bool = dataclasses.field(
+        default=False, metadata={"static": True}
+    )
     num_shards: int = dataclasses.field(
         default=1, metadata={"static": True}
     )
@@ -114,6 +138,7 @@ def build_halo_graph(
     block_nodes: int = 128,
     chunk_edges: int = 512,
     edge_pad_multiple: int = 8,
+    overlap: bool = False,
 ) -> HaloGraph:
     """Host-side halo plan. Only REAL edges go in; per-shard layouts make
     their own masked padding. Node space is padded to
@@ -215,7 +240,76 @@ def build_halo_graph(
             chunk_edges=chunk_edges,
         )
 
+    # --- comm/compute-overlap split -------------------------------------
+    # Local-source vs remote-source subsets per shard, padded to common
+    # widths. Canonical edge ids = position in the shard's (dst-sorted)
+    # edge list — the ids the UNSPLIT layout hashes for dropout, so both
+    # paths replay identical masks for the same seed.
+    extra = {}
+    if overlap:
+        loc_lists, rem_lists = [], []
+        for d in range(g):
+            s_d, d_d, e_d, owners = per_shard[d]
+            eid = np.arange(s_d.shape[0], dtype=np.int64)
+            sel = owners == d
+            loc_lists.append(
+                (s_d[sel] - d * rows, d_d[sel], e_d[sel], eid[sel])
+            )
+            halo_ids = halo_src_per_shard[d]
+            rsel = ~sel
+            rem_lists.append(
+                (halo_ids[rsel] - rows, d_d[rsel], e_d[rsel], eid[rsel])
+            )
+
+        def pad_stack(lists):
+            e_max = max(
+                edge_pad_multiple,
+                _round_up(
+                    max((x[0].shape[0] for x in lists), default=1) or 1,
+                    edge_pad_multiple,
+                ),
+            )
+            srcs = np.zeros((g, e_max), np.int32)
+            dsts = np.full((g, e_max), rows - 1, np.int32)
+            ets = np.zeros((g, e_max), np.int32)
+            masks = np.zeros((g, e_max), np.float32)
+            eids = np.zeros((g, e_max), np.int32)
+            for d, (s_a, d_a, e_a, i_a) in enumerate(lists):
+                n = s_a.shape[0]
+                srcs[d, :n] = s_a
+                dsts[d, :n] = d_a
+                ets[d, :n] = e_a
+                masks[d, :n] = 1.0
+                eids[d, :n] = i_a
+            return srcs, dsts, ets, masks, eids
+
+        ls, ld, le, lm, li = pad_stack(loc_lists)
+        rs, rd, re_, rm, ri = pad_stack(rem_lists)
+        extra = dict(
+            loc_src=jnp.asarray(ls), loc_dst=jnp.asarray(ld),
+            loc_etype=jnp.asarray(le), loc_mask=jnp.asarray(lm),
+            loc_eid=jnp.asarray(li),
+            rem_src=jnp.asarray(rs), rem_dst=jnp.asarray(rd),
+            rem_etype=jnp.asarray(re_), rem_mask=jnp.asarray(rm),
+            rem_eid=jnp.asarray(ri),
+            overlap=True,
+        )
+        if blocked:
+            from relgat_projector_tpu.data.blocked import (
+                build_blocked_shards,
+            )
+
+            extra["blocked_loc"] = build_blocked_shards(
+                loc_lists, rows, rows,
+                block_nodes=block_nodes, chunk_edges=chunk_edges,
+            )
+            extra["blocked_rem"] = build_blocked_shards(
+                rem_lists, rows, g * hp,
+                block_nodes=block_nodes, chunk_edges=chunk_edges,
+            )
+
     return HaloGraph(
+        **extra,
         send_idx=jnp.asarray(send_idx),
         src_halo=jnp.asarray(src_h),
         dst_local=jnp.asarray(dst_l),
@@ -238,20 +332,10 @@ def place_halo_graph(mesh: Mesh, hg: HaloGraph) -> HaloGraph:
     def put(x):
         return jax.device_put(x, sharding)
 
-    return dataclasses.replace(
-        hg,
-        send_idx=put(hg.send_idx),
-        src_halo=put(hg.src_halo),
-        dst_local=put(hg.dst_local),
-        etype=put(hg.etype),
-        mask=put(hg.mask),
-        blocked=(
-            jax.tree_util.tree_map(put, hg.blocked)
-            if hg.blocked is not None
-            else None
-        ),
-        mesh=mesh,
-    )
+    # Every array leaf (incl. the blocked layouts and the overlap split)
+    # is stacked [G, ...]; static fields survive the tree_map untouched.
+    placed = jax.tree_util.tree_map(put, hg)
+    return dataclasses.replace(placed, mesh=mesh)
 
 
 def halo_propagate(
@@ -291,6 +375,17 @@ def halo_propagate(
     use_dropout = attn_dropout_rate > 0.0 and dropout_rng is not None
     rng_arg = dropout_rng if use_dropout else jax.random.PRNGKey(0)
     run_pallas = use_pallas and hg.blocked is not None
+
+    if hg.overlap:
+        return _halo_propagate_overlapped(
+            h, attn_bank, bias_arg, rng_arg, hg,
+            use_bias=use_bias,
+            use_dropout=use_dropout,
+            run_pallas=use_pallas and hg.blocked_loc is not None,
+            negative_slope=negative_slope, eps=eps,
+            attn_dropout_rate=attn_dropout_rate,
+            kernel_precision=kernel_precision,
+        )
 
     def local_fn(h_loc, attn, bias, rng, send_idx, sx, dl, et, mask,
                  blocked):
@@ -359,4 +454,124 @@ def halo_propagate(
         h, attn_bank, bias_arg, rng_arg,
         hg.send_idx, hg.src_halo, hg.dst_local, hg.etype, hg.mask,
         hg.blocked,
+    )
+
+
+def _halo_propagate_overlapped(
+    h: jax.Array,
+    attn_bank: jax.Array,
+    bias_arg: jax.Array,
+    rng_arg: jax.Array,
+    hg: HaloGraph,
+    *,
+    use_bias: bool,
+    use_dropout: bool,
+    run_pallas: bool,
+    negative_slope: float,
+    eps: float,
+    attn_dropout_rate: float,
+    kernel_precision: str,
+) -> jax.Array:
+    """Comm/compute-overlapped halo propagate (SURVEY.md §5.7's "overlapped
+    with local segment aggregation").
+
+    Each shard's edges are pre-split (``build_halo_graph(overlap=True)``)
+    into LOCAL-source edges — aggregated straight from the shard's own
+    feature rows, with no data dependence on the exchange — and
+    REMOTE-source edges aggregated from the received halo buffer. The two
+    partial aggregations carry online-softmax state ``(m, l, acc, bias)``
+    and merge flash-style (algebraically identical to one softmax over the
+    union), so XLA's scheduler is free to run the boundary ``all_to_all``
+    concurrently with the local subset's SDDMM/segment work instead of
+    serializing exchange -> aggregate. Numerics (incl. dropout masks,
+    which hash canonical per-shard edge ids) match the unsplit path
+    bit-for-pattern; see tests/test_halo.py."""
+    mesh = hg.mesh
+    g, hp, rows = hg.num_shards, hg.halo_pair, hg.rows_per_shard
+
+    def local_fn(
+        h_loc, attn, bias, rng, send_idx,
+        l_src, l_dst, l_et, l_mask, l_eid,
+        r_src, r_dst, r_et, r_mask, r_eid,
+        bl_loc, bl_rem,
+    ):
+        heads, _, f = attn.shape
+        hf = heads * f
+        h2 = h_loc.reshape(rows, hf)
+        send = jnp.take(
+            h2, send_idx[0].reshape(-1), axis=0
+        ).reshape(g, hp, hf)
+        halo = jax.lax.all_to_all(send, GRAPH_AXIS, 0, 0)  # [G, Hp, HF]
+        halo3 = halo.reshape(g * hp, heads, f)
+        h_own3 = h_loc.reshape(rows, heads, f)
+
+        local_rng = None
+        if use_dropout:
+            local_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, jax.lax.axis_index(GRAPH_AXIS)),
+                jax.lax.axis_index(MODEL_AXIS),
+            )
+
+        if run_pallas:
+            from relgat_projector_tpu.ops.pallas.kernels import (
+                relgat_propagate_pallas_overlapped,
+            )
+
+            return relgat_propagate_pallas_overlapped(
+                h_own3, halo3, attn, bias if use_bias else None,
+                jax.tree_util.tree_map(lambda x: x[0], bl_loc),
+                jax.tree_util.tree_map(lambda x: x[0], bl_rem),
+                negative_slope=negative_slope, eps=eps,
+                attn_dropout_rate=(
+                    attn_dropout_rate if use_dropout else 0.0
+                ),
+                dropout_rng=local_rng,
+                kernel_precision=kernel_precision,
+            )
+
+        from relgat_projector_tpu.ops.relgat_ops import (
+            merge_propagate_partials,
+            relgat_propagate_partial,
+        )
+
+        kw = dict(
+            num_out=rows,
+            negative_slope=negative_slope,
+            attn_dropout_rate=attn_dropout_rate if use_dropout else 0.0,
+            dropout_rng=local_rng,
+            edges_sorted_by_dst=True,
+        )
+        p_loc = relgat_propagate_partial(
+            h_own3, attn, bias if use_bias else None,
+            l_src[0], l_dst[0], l_et[0],
+            edge_mask=l_mask[0], dropout_edge_ids=l_eid[0], **kw,
+        )
+        p_rem = relgat_propagate_partial(
+            halo3, attn, bias if use_bias else None,
+            r_src[0], r_dst[0], r_et[0],
+            edge_mask=r_mask[0], dropout_edge_ids=r_eid[0], **kw,
+        )
+        return merge_propagate_partials([p_loc, p_rem], eps=eps)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(GRAPH_AXIS, MODEL_AXIS),   # h: nodes x heads tile
+            P(MODEL_AXIS), P(), P(),     # attn bank sharded on heads
+            P(GRAPH_AXIS),               # send_idx
+            P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+            P(GRAPH_AXIS),               # local split
+            P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+            P(GRAPH_AXIS),               # remote split
+            P(GRAPH_AXIS), P(GRAPH_AXIS),  # blocked_loc / blocked_rem
+        ),
+        out_specs=P(GRAPH_AXIS, MODEL_AXIS),
+        check_vma=False,
+    )
+    return fn(
+        h, attn_bank, bias_arg, rng_arg, hg.send_idx,
+        hg.loc_src, hg.loc_dst, hg.loc_etype, hg.loc_mask, hg.loc_eid,
+        hg.rem_src, hg.rem_dst, hg.rem_etype, hg.rem_mask, hg.rem_eid,
+        hg.blocked_loc, hg.blocked_rem,
     )

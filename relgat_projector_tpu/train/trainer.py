@@ -109,6 +109,7 @@ class RelGATTrainer:
                 else 1
             ),
             halo_shards=graph_axis if use_halo else 0,
+            halo_overlap=run_config.model.halo_overlap,
             # Mesh-less segment stacks: scanned on one device to bound
             # per-edge gather memory (ModelConfig.scan_segments).
             scan_segments=(

