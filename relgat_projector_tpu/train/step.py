@@ -36,31 +36,28 @@ from relgat_projector_tpu.ops.sampling import sample_negative_dst
 from relgat_projector_tpu.train.state import TrainState
 
 
-def batch_forward(
+def score_batch(
     params: Any,
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
-    node_emb: jax.Array,
-    graph: GraphData,
+    x: jax.Array,        # [N_pad, D_sc] projected node representations
+    num_real_nodes: int,
     src: jax.Array,     # [B]
     rel: jax.Array,     # [B]
     dst: jax.Array,     # [B]
     weight: jax.Array,  # [B] 0/1 validity mask
     *,
-    rng: jax.Array,
-    train: bool,
+    neg_rng: jax.Array,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Full-graph forward + scoring + loss for one triplet batch.
+    """Scoring + loss for one triplet batch given precomputed node
+    representations ``x`` (the post-GAT/projection matrix).
 
-    Returns ``(loss, metrics)`` where metrics includes the sanitized pos/neg
-    scores for ranking metrics.
+    Split out of :func:`batch_forward` so evaluation can compute ``x`` ONCE
+    per :meth:`Trainer.evaluate` call — params are frozen during eval, so
+    the full-graph GAT stack is identical across eval batches (the reference
+    recomputes it per batch, ``trainer/relgat_projector.py:275-376``).
     """
-    drop_rng, neg_rng = jax.random.split(rng)
     num_neg = train_cfg.num_neg
-
-    x = single_gat_step(
-        params, model_cfg, node_emb, graph, train=train, rng=drop_rng
-    )  # [N_pad, D_sc]
 
     src_vec = jnp.take(x, src, axis=0)   # [B, D]
     dst_vec = jnp.take(x, dst, axis=0)   # [B, D]
@@ -71,7 +68,7 @@ def batch_forward(
     # Device-resident corruption of destinations over REAL nodes only
     # (replaces the reference's CPU rejection loop, ``edge.py:100-113``).
     neg_dst = sample_negative_dst(
-        neg_rng, dst, num_nodes=graph.num_real_nodes, num_neg=num_neg
+        neg_rng, dst, num_nodes=num_real_nodes, num_neg=num_neg
     )  # [B, K]
     neg_dst_vec = jnp.take(x, neg_dst, axis=0)  # [B, K, D]
     neg_score = sc.score_triplets(
@@ -135,6 +132,35 @@ def batch_forward(
         / jnp.maximum(jnp.sum(weight) * num_neg, 1.0),
     )
     return loss, metrics
+
+
+def batch_forward(
+    params: Any,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    node_emb: jax.Array,
+    graph: GraphData,
+    src: jax.Array,     # [B]
+    rel: jax.Array,     # [B]
+    dst: jax.Array,     # [B]
+    weight: jax.Array,  # [B] 0/1 validity mask
+    *,
+    rng: jax.Array,
+    train: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Full-graph forward + scoring + loss for one triplet batch.
+
+    Returns ``(loss, metrics)`` where metrics includes the sanitized pos/neg
+    scores for ranking metrics.
+    """
+    drop_rng, neg_rng = jax.random.split(rng)
+    x = single_gat_step(
+        params, model_cfg, node_emb, graph, train=train, rng=drop_rng
+    )  # [N_pad, D_sc]
+    return score_batch(
+        params, model_cfg, train_cfg, x, graph.num_real_nodes,
+        src, rel, dst, weight, neg_rng=neg_rng,
+    )
 
 
 def _global_norm(tree: Any) -> jax.Array:
@@ -277,17 +303,31 @@ def make_scan_train_step(
 def make_eval_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
-) -> Callable:
-    """Jitted eval step returning weighted-sum metric contributions so the
-    host can example-weight across ragged batches (reference
-    ``trainer:275-376`` semantics)."""
+) -> Tuple[Callable, Callable]:
+    """Build ``(repr_fn, eval_step)`` for evaluation.
+
+    ``repr_fn(params, node_emb, graph) -> x`` runs the full-graph GAT stack
+    + projection ONCE; ``eval_step(params, x, graph, batch..., rng)`` scores
+    one triplet batch against the precomputed ``x`` and returns weighted-sum
+    metric contributions so the host can example-weight across ragged
+    batches (reference ``trainer:275-376`` semantics). Params are frozen
+    during eval, so hoisting ``x`` out of the per-batch loop is a pure
+    optimization over the reference's per-batch full-graph recompute."""
 
     ks = tuple(train_cfg.eval_ks_ranks)
 
     @jax.jit
+    def eval_repr(
+        params: Any, node_emb: jax.Array, graph: GraphData
+    ) -> jax.Array:
+        return single_gat_step(
+            params, model_cfg, node_emb, graph, train=False, rng=None
+        )
+
+    @jax.jit
     def eval_step(
         params: Any,
-        node_emb: jax.Array,
+        x: jax.Array,
         graph: GraphData,
         src: jax.Array,
         rel: jax.Array,
@@ -295,9 +335,12 @@ def make_eval_step(
         weight: jax.Array,
         rng: jax.Array,
     ) -> Dict[str, jax.Array]:
-        loss, fwd = batch_forward(
-            params, model_cfg, train_cfg, node_emb, graph,
-            src, rel, dst, weight, rng=rng, train=False,
+        # Same rng split as the train-path batch_forward: the second key
+        # drives negative sampling (the first would be dropout, off here).
+        _, neg_rng = jax.random.split(rng)
+        loss, fwd = score_batch(
+            params, model_cfg, train_cfg, x, graph.num_real_nodes,
+            src, rel, dst, weight, neg_rng=neg_rng,
         )
         mrr, hits = M.compute_mrr_hits(
             fwd["pos_score"], fwd["neg_score"], ks, weights=weight
@@ -322,4 +365,4 @@ def make_eval_step(
                 out[f"{key}_sum"] = fwd[key] * n
         return out
 
-    return eval_step
+    return eval_repr, eval_step

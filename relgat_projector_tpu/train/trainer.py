@@ -225,7 +225,7 @@ class RelGATTrainer:
                 self.model_cfg, tc, self.optimizer, self.lr_schedule,
                 self.steps_per_call,
             )
-        self._eval_step = make_eval_step(self.model_cfg, tc)
+        self._eval_repr, self._eval_step = make_eval_step(self.model_cfg, tc)
 
         # Loop bookkeeping (parity with reference fields). Two counters:
         # - dispatch_step: host-side count of DISPATCHED train steps —
@@ -294,12 +294,17 @@ class RelGATTrainer:
         n_total = 0.0
         nonfinite_total = 0
         eval_rng = jax.random.fold_in(self.state.rng, 2**30)
+        # Params are frozen for the whole evaluation, so the full-graph GAT
+        # stack is computed ONCE and every batch scores against it (the
+        # reference recomputes the stack per eval batch,
+        # ``trainer/relgat_projector.py:286-300``).
+        x_repr = self._eval_repr(self.state.params, self.node_emb, self.graph)
         for bi, batch in enumerate(
             self.dataset.eval_batches(self.train_cfg.eval_batch_size)
         ):
             out = self._eval_step(
                 self.state.params,
-                self.node_emb,
+                x_repr,
                 self.graph,
                 *self._device_batch(batch),
                 jax.random.fold_in(eval_rng, bi),

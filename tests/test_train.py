@@ -320,6 +320,55 @@ def test_eval_metric_namespace_superset_of_reference():
     assert not missing, f"missing eval keys: {missing}"
 
 
+def test_hoisted_eval_matches_per_batch_recompute():
+    """`evaluate()` computes the GAT stack once per call and scores every
+    batch against it; that must equal the unhoisted `batch_forward`
+    (full-graph recompute per batch, the reference's eval structure,
+    ``trainer/relgat_projector.py:286-300``)."""
+    from relgat_projector_tpu.config import ModelConfig, RunConfig, TrainConfig
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.step import batch_forward
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=150, num_edges=1200, num_rel=4, emb_dim=16, seed=1
+    )
+    run = RunConfig(
+        model=ModelConfig(
+            in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+            gat_num_layers=2, dropout=0.0, project_to_input_size=True,
+            projection_layers=2,
+        ),
+        train=TrainConfig(
+            epochs=1, train_batch_size=64, eval_batch_size=48, num_neg=4,
+            lr=1e-3, lr_scheduler="constant", warmup_steps=0,
+            eval_ks_ranks=(1, 2), seed=9, log_every_n_steps=10_000,
+            out_dir="/tmp/relgat-evalhoist-test",
+        ),
+    )
+    t = RelGATTrainer(run, node2emb, rel2idx, triplets, log_to_console=False)
+
+    x = t._eval_repr(t.state.params, t.node_emb, t.graph)
+    eval_rng = jax.random.fold_in(t.state.rng, 2**30)
+    for bi, batch in enumerate(t.dataset.eval_batches(48)):
+        rng = jax.random.fold_in(eval_rng, bi)
+        dev = t._device_batch(batch)
+        out = t._eval_step(t.state.params, x, t.graph, *dev, rng)
+        loss_ref, fwd_ref = batch_forward(
+            t.state.params, t.model_cfg, t.train_cfg, t.node_emb, t.graph,
+            *dev, rng=rng, train=False,
+        )
+        n = float(jnp.sum(dev[3]))
+        assert np.isclose(float(out["loss_sum"]), float(loss_ref) * n,
+                          rtol=1e-5, atol=1e-5)
+        assert np.isclose(float(out["pos_score_mean"]),
+                          float(fwd_ref["pos_score_mean"]), rtol=1e-5,
+                          atol=1e-6)
+        assert np.isclose(float(out["neg_score_mean"]),
+                          float(fwd_ref["neg_score_mean"]), rtol=1e-5,
+                          atol=1e-6)
+
+
 def test_scanned_cadence_under_nonfinite_skips():
     """Eval/save cadence must not drift when steps skip on non-finite
     losses in scanned mode (VERDICT round-1 weak #5): cadence counts
