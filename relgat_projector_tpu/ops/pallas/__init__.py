@@ -3,6 +3,5 @@ from relgat_projector_tpu.ops.pallas.kernels import (  # noqa: F401
 )
 from relgat_projector_tpu.ops.pallas.fused import (  # noqa: F401
     fused_relgat_forward,
-    fused_relgat_backward,
-    blocked_scatter_sum,
+    fused_relgat_backward_src,
 )

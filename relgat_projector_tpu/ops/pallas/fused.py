@@ -514,241 +514,3 @@ def fused_relgat_backward_src(
     )(bs.chunk_block, ps_src, ge_packed, bs.chunk_meta, attn_flat, seed)
     dattn = jnp.transpose(dattn_flat.reshape(num_rel, heads, f), (1, 0, 2))
     return dh_blocks, dattn, dbias[:, 0]
-
-
-# ---------------------------------------------------------------------------
-# Backward v1 (dst-blocked, kept as oracle): flash-style recompute
-# ---------------------------------------------------------------------------
-
-def _bwd_kernel(
-    cb_ref,      # [C] int32 scalar prefetch
-    ps_ref,      # [TE, H*F]
-    g_ref,       # [TD, H*F]   upstream gradient rows of this block
-    out_ref_in,  # [TD, H*F]   forward output rows of this block
-    stats_ref,   # [TD, 8, H]  (m, l, bias)
-    meta_ref,    # [1, 8, TE]
-    attn_ref,    # [R, H*F]
-    dps_ref,     # [TE, H*F]  (out, streamed per chunk)
-    dattn_ref,   # [R, H*F]   (out, accumulated across the whole grid)
-    dbias_ref,   # [R, 128]   (out, accumulated; column 0)
-    *,
-    heads: int,
-    feat: int,
-    num_rel: int,
-    block_nodes: int,
-    negative_slope: float,
-    eps: float,
-    precision,
-):
-    c = pl.program_id(0)
-
-    et = meta_ref[0, 0, :]
-    ld = meta_ref[0, 1, :]
-    mask_i = meta_ref[0, 2, :]
-    te = et.shape[0]
-    td = block_nodes
-    f = feat
-    maskf = (mask_i > 0).astype(jnp.float32)
-    hi = precision
-
-    rel_ids = jax.lax.broadcasted_iota(jnp.int32, (te, num_rel), 1)
-    onehot_r = (et[:, None] == rel_ids).astype(jnp.float32)   # [TE, R]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (td, te), 0)
-    onehot_d = (rows == ld[None, :]).astype(jnp.float32)      # [TD, TE]
-
-    bias_col = stats_ref[:, 2, 0][:, None]                    # [TD, 1]
-
-    @pl.when(c == 0)
-    def _():
-        dattn_ref[:] = jnp.zeros_like(dattn_ref)
-        dbias_ref[:] = jnp.zeros_like(dbias_ref)
-
-    rel_att_all = jnp.dot(
-        onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
-        precision=hi,
-    )                                                     # [TE, H*F]
-
-    dps_cols = []
-    dattn_contrib = []
-    gsum = jnp.zeros((td,), jnp.float32)
-    for h in range(heads):
-        sl = slice(h * f, (h + 1) * f)
-        ps_h = ps_ref[:, sl]                              # [TE, F]
-        g_h = g_ref[:, sl]                                # [TD, F]
-        rel_att = rel_att_all[:, sl]                      # [TE, F]
-
-        m_h = stats_ref[:, 0, h]                          # [TD]
-        l_h = jnp.maximum(stats_ref[:, 1, h], eps)        # [TD]
-        m_safe = jnp.where(m_h <= _NEG * 0.5, 0.0, m_h)
-
-        eraw = jnp.sum(ps_h * rel_att, axis=1)            # [TE]
-        e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
-        e_h = jnp.where(maskf > 0, e_h, _NEG)
-
-        m_e = _rowgather(m_safe, onehot_d)            # [TE]
-        l_e = _rowgather(l_h, onehot_d)               # [TE]
-        alpha = jnp.exp(e_h - m_e) / l_e * maskf          # [TE]
-
-        g_e = jnp.dot(onehot_d.T, g_h,
-                      preferred_element_type=jnp.float32, precision=hi)
-        dalpha = jnp.sum(ps_h * g_e, axis=1)              # [TE]
-        agg_norm = out_ref_in[:, sl] - bias_col           # [TD, F]
-        s_h = jnp.sum(agg_norm * g_h, axis=1)             # [TD]
-        s_e = _rowgather(s_h, onehot_d)               # [TE]
-
-        de = alpha * (dalpha - s_e)
-        de = de * jnp.where(eraw >= 0, 1.0, negative_slope)
-
-        dps_cols.append(alpha[:, None] * g_e + de[:, None] * rel_att)
-        dattn_contrib.append(
-            jnp.dot(onehot_r.T, de[:, None] * ps_h,
-                    preferred_element_type=jnp.float32, precision=hi)
-        )                                                 # [R, F]
-        gsum = gsum + jnp.sum(g_h, axis=1)
-
-    dps_ref[:] = jnp.concatenate(dps_cols, axis=1)        # [TE, H*F]
-    dattn_ref[:] += jnp.concatenate(dattn_contrib, axis=1)  # [R, H*F]
-
-    gs_e = _rowgather(gsum, onehot_d)                 # [TE]
-    contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)  # [R]
-    lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
-    dbias_ref[:] += jnp.where(lane == 0, contrib[:, None], 0.0)
-
-
-def fused_relgat_backward(
-    ps: jax.Array,        # [E_bp, H*F]
-    g_blocks: jax.Array,  # [NB*TD, H*F] upstream grad (padded to blocks)
-    out_blocks: jax.Array,  # [NB*TD, H*F] forward output (padded)
-    stats: jax.Array,     # [NB*TD, 8, H]
-    be: BlockedEdges,
-    attn: jax.Array,      # [H, R, F]
-    *,
-    negative_slope: float = 0.2,
-    eps: float = 1e-16,
-    precision=jax.lax.Precision.HIGHEST,
-):
-    """Returns ``(dps [E_bp, H*F], dattn [H, R, F], dbias [R])``."""
-    heads, num_rel, f = attn.shape
-    e_bp, hf = ps.shape
-    te = be.chunk_edges
-    td = be.block_nodes
-    c = be.num_chunks
-
-    attn_flat = jnp.transpose(attn, (1, 0, 2)).reshape(num_rel, hf)
-
-    kernel = functools.partial(
-        _bwd_kernel,
-        heads=heads,
-        feat=f,
-        num_rel=num_rel,
-        block_nodes=td,
-        negative_slope=negative_slope,
-        eps=eps,
-        precision=precision,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(c,),
-        in_specs=[
-            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((td, 8, heads), lambda i, cb: (cb[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, te), lambda i, cb: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_rel, 128), lambda i, cb: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-    )
-    dps, dattn_flat, dbias = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((e_bp, hf), jnp.float32),
-            jax.ShapeDtypeStruct((num_rel, hf), jnp.float32),
-            jax.ShapeDtypeStruct((num_rel, 128), jnp.float32),
-        ),
-        interpret=_interpret(),
-    )(be.chunk_block, ps, g_blocks, out_blocks, stats, be.chunk_meta,
-      attn_flat)
-    dattn = jnp.transpose(dattn_flat.reshape(num_rel, heads, f), (1, 0, 2))
-    return dps, dattn, dbias[:, 0]
-
-
-# ---------------------------------------------------------------------------
-# Masked blocked scatter-sum (backward dL/dh accumulation per source node)
-# ---------------------------------------------------------------------------
-
-def _scatter_kernel(
-    cb_ref, vals_ref, meta_ref, out_ref, *, block_nodes: int
-):
-    c = pl.program_id(0)
-    prev = cb_ref[jnp.maximum(c - 1, 0)]
-    is_first = jnp.logical_or(c == 0, cb_ref[c] != prev)
-
-    ld = meta_ref[0, 1, :]
-    mask_i = meta_ref[0, 2, :]
-    te = ld.shape[0]
-    maskf = (mask_i > 0).astype(jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_nodes, te), 0)
-    onehot = (rows == ld[None, :]).astype(jnp.float32) * maskf[None, :]
-
-    partial = jnp.dot(
-        onehot, vals_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                     # [TD, H*F]
-
-    @pl.when(is_first)
-    def _():
-        out_ref[:] = partial
-
-    @pl.when(jnp.logical_not(is_first))
-    def _():
-        out_ref[:] += partial
-
-
-def blocked_scatter_sum(values: jax.Array, be: BlockedEdges) -> jax.Array:
-    """``out[n] = sum over real slots with local segment n of values`` over
-    the given blocked layout (src-blocked for dL/dh). ``values`` is
-    ``[E_bp, H*F]``; returns ``[NB*TD, H*F]`` (empty blocks garbage — mask
-    with block_nonempty)."""
-    e_bp, hf = values.shape
-    te = be.chunk_edges
-    td = be.block_nodes
-    c = be.num_chunks
-
-    kernel = functools.partial(_scatter_kernel, block_nodes=td)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(c,),
-        in_specs=[
-            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, te), lambda i, cb: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (td, hf), lambda i, cb: (cb[i], 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (be.num_blocks * td, hf), jnp.float32
-        ),
-        interpret=_interpret(),
-    )(be.chunk_block, values, be.chunk_meta)
