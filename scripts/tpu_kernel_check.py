@@ -24,7 +24,14 @@ def main():
     ap.add_argument("--rel", type=int, default=12)
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--feat", type=int, default=64)
+    ap.add_argument(
+        "--precision", default="highest",
+        choices=("highest", "high", "default"),
+        help="Pallas kernel MXU precision; with 'default' (1-pass bf16) "
+        "errors vs the fp32 XLA baseline are reported, not asserted",
+    )
     args = ap.parse_args()
+    exact = args.precision != "default"
 
     import jax
     import jax.numpy as jnp
@@ -53,13 +60,14 @@ def main():
 
     for rate in (0.0, 0.3):
         kw = dict(attn_dropout_rate=rate, dropout_rng=key if rate else None)
+        pkw = dict(kw, kernel_precision=args.precision)
         t0 = time.perf_counter()
         want = relgat_propagate(
             h, attn, bias, g.src, g.dst, g.etype, num_nodes=n_pad,
             edges_sorted_by_dst=True, **kw,
         )
         _ = float(want.sum())
-        got = relgat_propagate_pallas(h, attn, bias, g.blocked, **kw)
+        got = relgat_propagate_pallas(h, attn, bias, g.blocked, **pkw)
         _ = float(got.sum())
         fw_err = float(
             jnp.max(jnp.abs(got[:n] - want[:n]))
@@ -67,11 +75,12 @@ def main():
         )
         print(f"rate={rate} fwd rel-err {fw_err:.3e} "
               f"({time.perf_counter() - t0:.1f}s incl compile)")
-        assert fw_err < 1e-5, f"FWD mismatch at rate={rate}"
+        if exact:
+            assert fw_err < 1e-5, f"FWD mismatch at rate={rate}"
 
         def loss_p(h_, a_, b_):
             return jnp.sum(jnp.sin(relgat_propagate_pallas(
-                h_, a_, b_, g.blocked, **kw)[:n]))
+                h_, a_, b_, g.blocked, **pkw)[:n]))
 
         def loss_x(h_, a_, b_):
             return jnp.sum(jnp.sin(relgat_propagate(
@@ -87,7 +96,8 @@ def main():
             scale = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
             err = float(jnp.max(jnp.abs(a - b))) / scale
             print(f"  rate={rate} {name} rel-err {err:.3e}")
-            assert err < 5e-5, f"{name} mismatch at rate={rate}"
+            if exact:
+                assert err < 5e-5, f"{name} mismatch at rate={rate}"
         print(f"  grads OK ({time.perf_counter() - t0:.1f}s incl compile)")
 
     print("TPU KERNEL CHECK PASSED")
