@@ -4,13 +4,19 @@ One sequential pass over the block-padded edge stream (``data/blocked.py``).
 Per chunk of TE edges (all in one destination block of TD nodes):
 
   1. SDDMM: one all-heads relation-attention gather via a single one-hot
-     ``[TE, R] @ [R, H*F]`` MXU matmul, per-edge logits, masked LeakyReLU;
-  2. online segment softmax (flash-attention-style): running per-(dst,head)
-     max ``m`` and denominator ``l`` in VMEM scratch, rescaled per chunk —
-     softmax statistics never touch HBM;
-  3. aggregation: ``(onehot * p) [TD, TE] @ ps_h [TE, F]`` per head into a
-     head-major VMEM accumulator, normalized and written once per block;
-  4. per-relation scalar bias accumulated the same way.
+     ``[TE, R] @ [R, H*F]`` MXU matmul, then all-heads logits via one
+     block-diagonal ``[TE, H*F] @ [H*F, H]`` pass, masked LeakyReLU;
+  2. online segment softmax (flash-attention-style) with a CHUNK-reference
+     shift: running per-(dst, head) reference ``m`` and denominator ``l``
+     in VMEM scratch, rescaled per chunk — softmax statistics never touch
+     HBM. Flash merging only needs a per-dst-consistent shift, so ``m``
+     tracks the per-head chunk max (a [TE, H] reduction) instead of the
+     true per-dst max, which would cost a masked [TD, TE] segment max per
+     head per chunk;
+  3. denominators + relation bias: one ``onehot [TD, TE] @ [TE, H+1]``
+     matmul; aggregation: ``onehot [TD, TE] @ (p * ps_h) [TE, F]`` per
+     head into a head-major VMEM accumulator, normalized and written once
+     per block.
 
 Layout rules learned on hardware (see git history):
 - per-edge features stream as 2D ``[TE, H*F]`` blocks (a 3D ``[TE, H, F]``
@@ -22,9 +28,13 @@ Layout rules learned on hardware (see git history):
 - per-edge gathers of per-dst scalars go through the MXU
   (``[1, TD] @ [TD, TE]``), not sublane reductions.
 
-Numerics match the reference exactly (true per-dst max, denominator clamp
-1e-16 — ``layer.py:280-293``); online rescaling is algebraically identical
-to the two-pass softmax. All matmuls run at HIGHEST (fp32) precision.
+Numerics match the reference (denominator clamp 1e-16 —
+``layer.py:280-293``): the chunk-reference shift is algebraically identical
+to the max-shifted two-pass softmax; a dst whose own max sits ``delta``
+below its chunks' references carries ``p ~ exp(-delta)`` — exact in fp32
+(scale-invariant) until exp underflow at ``delta ~ 88``, far beyond
+LeakyReLU'd logit spreads within 512-edge chunks. Matmuls default to
+HIGHEST (fp32) precision.
 
 The backward recomputes the SDDMM from the saved ``(m, l)`` statistics and
 uses the identity ``sum_e alpha_e * dalpha_e = <out_d - bias_d, g_d>`` so
@@ -50,17 +60,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _rowgather(vals_td: jax.Array, onehot_d: jax.Array) -> jax.Array:
-    """Per-edge gather of a per-dst vector ``[TD] -> [TE]`` via a
-    ``[1, TD] @ [TD, TE]`` MXU matmul (measured faster than both sublane
-    reductions and transposed-one-hot lane reductions)."""
-    out = jnp.dot(
-        vals_td[None, :], onehot_d, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0]
-
-
 def _fused_kernel(
     cb_ref,      # [C] int32 scalar prefetch: block id per chunk
     ps_ref,      # [TE, H*F]
@@ -70,8 +69,8 @@ def _fused_kernel(
     seed_ref,    # [1, 1] int32 (attention-dropout seed)
     out_ref,     # [TD, H*F]
     stats_ref,   # [TD, 8, H] (row 0 = m, row 1 = l, row 2 = bias)
-    m_s,         # scratch [H, TD]
-    l_s,         # scratch [H, TD]
+    m_s,         # scratch [TD, H] running per-(dst, head) reference shift
+    l_s,         # scratch [TD, H] running denominators (in m_s reference)
     acc_s,       # scratch [H, TD, F]
     b_s,         # scratch [8, TD] (row 0)
     *,
@@ -115,39 +114,56 @@ def _fused_kernel(
         precision=hi,
     )                                                     # [TE, H*F]
 
-    # NB: routing the SDDMM through the backward's block-diagonal MXU trick
-    # measured neutral-to-worse here (76.7 vs 75.8 ms fwd+bwd) — the
-    # forward is bound by the per-head [TD, TE] segment max/sum work, not
-    # this reduction; keep the simple per-head form.
+    # All-heads SDDMM via the block-diagonal MXU pass (same trick as the
+    # backward): per-head lane reductions become one [TE, HF] @ [HF, H].
+    hf0 = heads * f
+    ps_all = ps_ref[:]                                    # [TE, H*F]
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 0) // f
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 1)
+    bdiag = (col_h == row_h).astype(jnp.float32)          # [HF, H]
+    eraw_all = jnp.dot(
+        ps_all * rel_att_all, bdiag, preferred_element_type=jnp.float32,
+        precision=hi,
+    )                                                     # [TE, H]
+    e_all = jnp.where(eraw_all >= 0, eraw_all, negative_slope * eraw_all)
+    e_all = jnp.where(maskf[:, None] > 0, e_all, _NEG)    # [TE, H]
+
+    # CHUNK-REFERENCE online softmax: flash-style merging only needs a
+    # per-dst-CONSISTENT shift between the numerator terms and (m, l) —
+    # not the true per-dst max. Using the per-head chunk max (a cheap
+    # [TE, H] reduction) eliminates the per-head masked [TD, TE] segment
+    # max, the per-dst m gather, AND the [TD, TE] weighted-one-hot build
+    # that dominated the forward's VPU time. A dst whose own max sits
+    # delta below the chunk max carries p ~ exp(-delta); ratios stay exact
+    # in fp32 until delta ~ 88 (exp underflow) — far beyond LeakyReLU'd
+    # attention-logit spreads within one 512-edge chunk.
+    c_m = jnp.max(e_all, axis=0)                          # [H]
+    p_all = jnp.exp(e_all - c_m[None, :]) * maskf[:, None]  # [TE, H]
+    # One [TD, TE] @ [TE, H+1] matmul accumulates both the per-dst
+    # denominators and the per-dst relation-bias sum.
+    bias_e = jnp.sum(onehot_r * bias_ref[:, 0][None, :], axis=1)  # [TE]
+    pl_bias = jnp.dot(
+        onehot_d,
+        jnp.concatenate([p_all, (bias_e * maskf)[:, None]], axis=1),
+        preferred_element_type=jnp.float32, precision=hi,
+    )                                                     # [TD, H+1]
+    partial_l = pl_bias[:, :heads]                        # [TD, H]
+
+    m_prev = m_s[:]                                       # [TD, H]
+    m_new = jnp.maximum(m_prev, c_m[None, :])
+    # exp(_NEG - _NEG) = 1 is harmless here: such rows carry l = 0 and
+    # partial_l = 0, and exp(_NEG - real) flushes to 0 in fp32.
+    scale_prev = jnp.exp(m_prev - m_new)                  # [TD, H]
+    scale_chunk = jnp.exp(c_m[None, :] - m_new)           # [TD, H]
+    l_new_all = l_s[:] * scale_prev + partial_l * scale_chunk
+    m_s[:] = m_new
+    l_s[:] = l_new_all
+
     out_cols = []
-    m_rows, l_rows = [], []
     for h in range(heads):
         sl = slice(h * f, (h + 1) * f)
         ps_h = ps_ref[:, sl]                              # [TE, F]
-
-        eraw = jnp.sum(ps_h * rel_att_all[:, sl], axis=1)  # [TE]
-        e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
-        e_h = jnp.where(maskf > 0, e_h, _NEG)
-
-        m_prev = m_s[h]                                   # [TD]
-        m_c = jnp.max(
-            jnp.where(onehot_d > 0, e_h[None, :], _NEG), axis=1
-        )                                                 # [TD]
-        m_new = jnp.maximum(m_prev, m_c)
-        m_safe = jnp.where(m_new <= _NEG * 0.5, 0.0, m_new)
-        # exp(_NEG - _NEG) would be 1; rows that never saw an edge keep
-        # l = 0 via the explicit mask multiplications below.
-        scale = jnp.where(
-            m_prev <= _NEG * 0.5, 0.0, jnp.exp(m_prev - m_safe)
-        )                                                 # [TD]
-
-        m_e = _rowgather(m_safe, onehot_d)            # [TE]
-        p = jnp.exp(e_h - m_e) * maskf                    # [TE]
-        l_new = l_s[h] * scale + jnp.sum(onehot_d * p[None, :], axis=1)
-        m_s[h] = m_new
-        l_s[h] = l_new
-        m_rows.append(m_new)
-        l_rows.append(l_new)
+        p = p_all[:, h]                                   # [TE]
 
         # attention-weight dropout (reference ``layer.py:296-297``):
         # applied to normalized weights -> to p in the numerator only
@@ -165,35 +181,33 @@ def _fused_kernel(
             )
             p_acc = p * keep / (1.0 - attn_dropout_rate)
 
-        w = onehot_d * p_acc[None, :]                     # [TD, TE]
         partial = jnp.dot(
-            w, ps_h, preferred_element_type=jnp.float32, precision=hi,
+            onehot_d, p_acc[:, None] * ps_h,
+            preferred_element_type=jnp.float32, precision=hi,
         )                                                 # [TD, F]
-        acc_s[h] = acc_s[h] * scale[:, None] + partial
+        acc_s[h] = (
+            acc_s[h] * scale_prev[:, h][:, None]
+            + partial * scale_chunk[:, h][:, None]
+        )
 
-    # ---- relation bias ---------------------------------------------------
-    bias_e = jnp.sum(onehot_r * bias_ref[:, 0][None, :], axis=1)  # [TE]
-    b_new = b_s[0] + jnp.sum(
-        onehot_d * (bias_e * maskf)[None, :], axis=1
-    )                                                     # [TD]
+    # ---- relation bias (accumulated via the fused matmul above) ---------
+    b_new = b_s[0] + pl_bias[:, heads]                    # [TD]
     b_s[0] = b_new
 
     # ---- write normalized output (final chunk of the block wins) --------
+    denom = jnp.maximum(l_new_all, eps)                   # [TD, H]
     for h in range(heads):
-        denom_h = jnp.maximum(l_rows[h], eps)             # [TD]
         out_cols.append(
-            acc_s[h] / denom_h[:, None] + b_new[:, None]  # [TD, F]
+            acc_s[h] / denom[:, h][:, None] + b_new[:, None]  # [TD, F]
         )
     out_ref[:] = jnp.concatenate(out_cols, axis=1)        # [TD, H*F]
 
     # Stats as one full-block 3D store (Mosaic rejects 1-D writes into 3-D
     # refs); tiny [TD, H] stacks.
-    m_t = jnp.stack(m_rows, axis=1)                       # [TD, H]
-    l_t = jnp.stack(l_rows, axis=1)
     b_t = jnp.broadcast_to(b_new[:, None], (td, heads))
     zeros = jnp.zeros((td, heads), jnp.float32)
     stats_ref[:] = jnp.stack(
-        [m_t, l_t, b_t, zeros, zeros, zeros, zeros, zeros], axis=1
+        [m_new, l_new_all, b_t, zeros, zeros, zeros, zeros, zeros], axis=1
     )
 
 
@@ -266,8 +280,8 @@ def fused_relgat_forward(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((heads, td), jnp.float32),
-            pltpu.VMEM((heads, td), jnp.float32),
+            pltpu.VMEM((td, heads), jnp.float32),
+            pltpu.VMEM((td, heads), jnp.float32),
             pltpu.VMEM((heads, td, f), jnp.float32),
             pltpu.VMEM((8, td), jnp.float32),
         ],
