@@ -37,15 +37,26 @@ def init_scorer(
 
 
 def l2_normalize(x: jax.Array, eps: float = _NORMALIZE_EPS) -> jax.Array:
-    """torch ``F.normalize(p=2)`` semantics: ``x / max(||x||, eps)``.
+    """torch ``F.normalize(p=2)`` values: ``x / max(||x||, eps)`` — with a
+    true ZERO gradient at zero rows (deliberate fix vs the reference).
 
-    Written as ``x / sqrt(max(sum(x^2), eps^2))`` — identical values, but the
-    gradient at ``x = 0`` is 0 instead of NaN (``sqrt`` differentiates the
-    clamped constant). Zero rows are real here: isolated nodes aggregate to
-    exactly zero and get gathered as sampled negatives.
+    Zero rows are real here: zero-in-degree nodes aggregate to exactly zero
+    and (at init, with zero LayerNorm biases) project to exactly zero, then
+    get gathered into cosine/TransE terms. torch's clamp keeps the VALUE
+    finite but backprops ``1/eps = 1e12`` through the zero row — one
+    isolated node in a batch inflates the global grad norm ~1e9x and
+    clipping then erases the step's real signal. ``normalize`` is genuinely
+    non-differentiable at 0; selecting the constant-zero branch makes AD
+    return the sane subgradient 0 there. Values are bit-identical to torch
+    for every input (the branches only differ below ``||x|| = 1e-12``,
+    where both yield 0 in fp32 forward).
     """
     sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
-    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+    out = x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+    # NB ``~(sq <= eps^2)``, not ``sq > eps^2``: NaN rows must take the
+    # propagate branch so non-finite inputs still surface in the loss (the
+    # trainer's skip-step detection depends on it).
+    return jnp.where(sq <= eps * eps, jnp.zeros_like(x), out)
 
 
 def safe_l2_norm(x: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -37,6 +37,33 @@ def test_distmult_score_and_transform():
     np.testing.assert_allclose(got_t, src * rel_emb[rel_ids], rtol=1e-5, atol=1e-6)
 
 
+def test_l2_normalize_zero_row_values_and_gradient():
+    """Values match torch F.normalize on zero AND nonzero rows; the
+    gradient at a zero row is exactly 0 (deliberate fix vs the reference,
+    whose clamp backprops 1/eps = 1e12 through zero rows — produced by
+    zero-in-degree nodes at init — so one isolated node nuked the global
+    grad norm)."""
+    x = np.vstack([_rand((3, 8), 11), np.zeros((2, 8), np.float32)])
+    got = np.asarray(sc.l2_normalize(jnp.asarray(x)))
+    want = torch.nn.functional.normalize(torch.tensor(x), p=2, dim=-1)
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-6, atol=1e-7)
+
+    def loss(v):
+        return jnp.sum(jnp.sin(sc.l2_normalize(v)))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    assert np.all(np.isfinite(g))
+    np.testing.assert_array_equal(g[3:], 0.0)     # zero rows: zero grad
+    assert np.abs(g[:3]).max() < 10.0             # nonzero rows: sane
+
+    # NaN rows must still PROPAGATE (the trainer's non-finite skip-step
+    # detection relies on it) — the zero branch must not swallow them.
+    x_nan = x.copy()
+    x_nan[0, 0] = np.nan
+    got_nan = np.asarray(sc.l2_normalize(jnp.asarray(x_nan)))
+    assert np.isnan(got_nan[0]).any()
+
+
 def test_transe_score_and_transform_normalized():
     src, dst = _rand((32, 16), 4), _rand((32, 16), 5)
     rel_emb = _rand((5, 16), 6)
