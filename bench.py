@@ -74,7 +74,7 @@ def _make_inputs(cfg_d, seed=0):
 
 
 def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
-              kernel_precision="highest", td=128, te=512,
+              kernel_precision="highest", td=128, te=256,
               steps_per_call=1):
     import jax
     import jax.numpy as jnp
@@ -276,7 +276,7 @@ def main():
                     help="MXU precision in the Pallas kernels (default=bf16)")
     ap.add_argument("--td", type=int, default=128,
                     help="dst-block rows in the blocked layout")
-    ap.add_argument("--te", type=int, default=512,
+    ap.add_argument("--te", type=int, default=256,
                     help="edge-chunk size in the blocked layout")
     ap.add_argument("--steps-per-call", dest="steps_per_call", type=int,
                     default=8,

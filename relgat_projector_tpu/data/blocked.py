@@ -314,7 +314,7 @@ def build_blocked_shards(
     src_space: int,
     *,
     block_nodes: int = 128,
-    chunk_edges: int = 512,
+    chunk_edges: int = 256,
 ) -> BlockedGraph:
     """Per-device/per-segment blocked layouts, stacked ``[G, ...]``.
 
@@ -448,7 +448,7 @@ def build_scanned_graph(
     num_segments: int,
     *,
     block_nodes: int = 128,
-    chunk_edges: int = 512,
+    chunk_edges: int = 256,
 ) -> ScannedBlockedGraph:
     """Host-side build of the dst-/src-partitioned segment stacks.
     ``num_nodes`` is the padded node count; only REAL edges go in."""
@@ -539,7 +539,7 @@ def build_blocked_graph(
     num_nodes: int,
     *,
     block_nodes: int = 128,
-    chunk_edges: int = 512,
+    chunk_edges: int = 256,
 ) -> BlockedGraph:
     """``num_nodes`` must already be the padded node count; only REAL edges
     should be passed (the blocked layouts make their own padding)."""

@@ -62,7 +62,7 @@ def build_graph(
     sort_by_dst: bool = True,
     blocked: bool = False,
     block_nodes: int = 128,
-    chunk_edges: int = 512,
+    chunk_edges: int = 256,
     graph_shards: int = 1,
     halo_shards: int = 0,
     halo_overlap: bool = False,

@@ -136,7 +136,7 @@ def build_halo_graph(
     *,
     blocked: bool = False,
     block_nodes: int = 128,
-    chunk_edges: int = 512,
+    chunk_edges: int = 256,
     edge_pad_multiple: int = 8,
     overlap: bool = False,
 ) -> HaloGraph:

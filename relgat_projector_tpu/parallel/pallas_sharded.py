@@ -78,7 +78,7 @@ def shard_blocked_graph(
     num_shards: int,
     *,
     block_nodes: int = 128,
-    chunk_edges: int = 512,
+    chunk_edges: int = 256,
 ) -> ShardedBlockedGraph:
     """Host-side build of per-device blocked layouts over contiguous dst
     ranges. ``num_nodes`` is the padded global node count; only REAL edges
