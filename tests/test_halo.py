@@ -416,3 +416,31 @@ def test_trainer_with_model_axis_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
         )
+
+
+def test_scaling_model_script_runs_and_orders_sanely():
+    """`scripts/scaling_model.py` (docs/SCALING.md artifact) must keep
+    working: clustered graphs exchange fewer boundary rows than uniform
+    ones at the same shard count, and the halo always beats round-1's
+    full replication."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_model",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "scaling_model.py"),
+    )
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    n, e, g = 2048, 20_000, 4
+    cs, cd, ce = sm.make_clustered(n, e, g, 0.05, 5)
+    us, ud, ue = sm.make_uniform(n, e, 5)
+    hg_c = build_halo_graph(cs, cd, ce, n, g)
+    hg_u = build_halo_graph(us, ud, ue, n, g)
+    assert hg_c.halo_pair < hg_u.halo_pair
+    fb = 4 * 16 * 4
+    for hg in (hg_c, hg_u):
+        assert (hg.exchange_bytes_per_device(fb)
+                <= hg.replication_bytes_per_device(fb))
