@@ -14,9 +14,9 @@ Per chunk of TE edges (all in one destination block of TD nodes):
      true per-dst max, which would cost a masked [TD, TE] segment max per
      head per chunk;
   3. denominators + relation bias: one ``onehot [TD, TE] @ [TE, H+1]``
-     matmul; aggregation: ``onehot [TD, TE] @ (p * ps_h) [TE, F]`` per
-     head into a head-major VMEM accumulator, normalized and written once
-     per block.
+     matmul; aggregation: ONE all-heads ``onehot [TD, TE] @ (p_exp * ps)
+     [TE, H*F]`` matmul (p lane-broadcast per head) into a ``[TD, H*F]``
+     VMEM accumulator, normalized and written once per block.
 
 Layout rules learned on hardware (see git history):
 - per-edge features stream as 2D ``[TE, H*F]`` blocks (a 3D ``[TE, H, F]``
@@ -71,7 +71,7 @@ def _fused_kernel(
     stats_ref,   # [TD, 8, H] (row 0 = m, row 1 = l, row 2 = bias)
     m_s,         # scratch [TD, H] running per-(dst, head) reference shift
     l_s,         # scratch [TD, H] running denominators (in m_s reference)
-    acc_s,       # scratch [H, TD, F]
+    acc_s,       # scratch [TD, H*F] (head-major lane ranges)
     b_s,         # scratch [8, TD] (row 0)
     *,
     heads: int,
@@ -159,36 +159,41 @@ def _fused_kernel(
     m_s[:] = m_new
     l_s[:] = l_new_all
 
-    out_cols = []
-    for h in range(heads):
-        sl = slice(h * f, (h + 1) * f)
-        ps_h = ps_ref[:, sl]                              # [TE, F]
-        p = p_all[:, h]                                   # [TE]
-
-        # attention-weight dropout (reference ``layer.py:296-297``):
-        # applied to normalized weights -> to p in the numerator only
-        # (denominator l keeps the un-dropped weights, matching dropout
-        # AFTER normalization). The mask hashes (seed, canonical edge id,
-        # head) — ``ops/dropout.py`` — so the src-blocked backward replays
-        # it bit-exactly from the seed alone.
-        p_acc = p
-        if attn_dropout_rate > 0.0:
-            from relgat_projector_tpu.ops.dropout import edge_keep_mask
-
-            eid = meta_ref[0, 3, :]                       # [TE]
-            keep = edge_keep_mask(
-                eid, h, seed_ref[0, 0], attn_dropout_rate
-            )
-            p_acc = p * keep / (1.0 - attn_dropout_rate)
-
-        partial = jnp.dot(
-            onehot_d, p_acc[:, None] * ps_h,
-            preferred_element_type=jnp.float32, precision=hi,
-        )                                                 # [TD, F]
-        acc_s[h] = (
-            acc_s[h] * scale_prev[:, h][:, None]
-            + partial * scale_chunk[:, h][:, None]
+    def _expand(a):
+        # [X, H] -> [X, H*F] per-head-contiguous lane broadcast (VPU; the
+        # [X, H] @ [H, H*F] expansion-matmul variant measured slower).
+        return jnp.concatenate(
+            [jnp.broadcast_to(a[:, h:h + 1], (a.shape[0], f))
+             for h in range(heads)], axis=1,
         )
+
+    # attention-weight dropout (reference ``layer.py:296-297``): applied to
+    # normalized weights -> to p in the numerator only (denominator l keeps
+    # the un-dropped weights, matching dropout AFTER normalization). The
+    # mask hashes (seed, canonical edge id, head) — ``ops/dropout.py`` —
+    # so the src-blocked backward replays it bit-exactly from the seed.
+    p_acc_all = p_all                                     # [TE, H]
+    if attn_dropout_rate > 0.0:
+        from relgat_projector_tpu.ops.dropout import edge_keep_mask_all_heads
+
+        eid = meta_ref[0, 3, :]                           # [TE]
+        keep = edge_keep_mask_all_heads(
+            eid, heads, seed_ref[0, 0], attn_dropout_rate
+        )
+        p_acc_all = p_all * keep / (1.0 - attn_dropout_rate)
+
+    # ONE all-heads aggregation matmul (N=H*F fills the MXU lanes; the
+    # per-head N=F variant issued H matmuls at half lane utilization and
+    # its slice/broadcast chains dominated the per-chunk op count).
+    partial_all = jnp.dot(
+        onehot_d, _expand(p_acc_all) * ps_all,
+        preferred_element_type=jnp.float32, precision=hi,
+    )                                                     # [TD, H*F]
+    acc_new = (
+        acc_s[:] * _expand(scale_prev)
+        + partial_all * _expand(scale_chunk)
+    )
+    acc_s[:] = acc_new
 
     # ---- relation bias (accumulated via the fused matmul above) ---------
     b_new = b_s[0] + pl_bias[:, heads]                    # [TD]
@@ -196,11 +201,7 @@ def _fused_kernel(
 
     # ---- write normalized output (final chunk of the block wins) --------
     denom = jnp.maximum(l_new_all, eps)                   # [TD, H]
-    for h in range(heads):
-        out_cols.append(
-            acc_s[h] / denom[:, h][:, None] + b_new[:, None]  # [TD, F]
-        )
-    out_ref[:] = jnp.concatenate(out_cols, axis=1)        # [TD, H*F]
+    out_ref[:] = acc_new / _expand(denom) + b_new[:, None]  # [TD, H*F]
 
     # Stats as one full-block 3D store (Mosaic rejects 1-D writes into 3-D
     # refs); tiny [TD, H] stacks.
@@ -282,7 +283,7 @@ def fused_relgat_forward(
         scratch_shapes=[
             pltpu.VMEM((td, heads), jnp.float32),
             pltpu.VMEM((td, heads), jnp.float32),
-            pltpu.VMEM((heads, td, f), jnp.float32),
+            pltpu.VMEM((td, heads * f), jnp.float32),
             pltpu.VMEM((8, td), jnp.float32),
         ],
     )
@@ -384,52 +385,48 @@ def _bwd_src_kernel(
         precision=hi,
     )                                                     # [TE, H]
 
-    # Remaining per-head work stays on [TE] vectors + [TE, F] broadcasts:
-    # a fully-vectorized [TE, H] panel variant (all-heads alpha/de + two
-    # [TE, H] @ [H, H*F] expansion matmuls) measured SLOWER (80.6 vs
-    # 75.8 ms fwd+bwd at 1M edges) — H=4 lanes pad to 128 (32x VPU waste)
-    # and the K=4 matmuls cost more than the broadcasts they replace.
-    contrib_cols = []
-    deps_cols = []
-    for h in range(heads):
-        sl = slice(h * f, (h + 1) * f)
-        ps_h = ps_ref[:, sl]                              # [TE, F]
-        g_h = ge_ref[:, sl]                               # [TE, F]
-        rel_att = rel_att_all[:, sl]                      # [TE, F]
+    # Remaining per-edge work runs as [TE, H] PANELS (H=4 lanes pad to 128
+    # — 32x lane waste, but these are tiny arrays and one panel op replaces
+    # H per-head ops: the per-chunk Mosaic op COUNT, not VPU throughput, is
+    # what the grid amortizes worst). The earlier slower "panel variant"
+    # (80.6 vs 75.8 ms) expanded [TE, H] -> [TE, H*F] with K=4 MXU matmuls;
+    # this one uses VPU lane broadcasts.
+    m_all = ge_ref[:, hf0:hf0 + heads]                    # [TE, H]
+    l_all = jnp.maximum(ge_ref[:, hf0 + heads:hf0 + 2 * heads], eps)
+    s_all = ge_ref[:, hf0 + 2 * heads:hf0 + 3 * heads]    # [TE, H]
+    m_safe = jnp.where(m_all <= _NEG * 0.5, 0.0, m_all)
+    e_act = jnp.where(eraw_all >= 0, eraw_all, negative_slope * eraw_all)
+    alpha_all = jnp.exp(e_act - m_safe) / l_all * maskf[:, None]  # [TE, H]
 
-        m_e = ge_ref[:, hf0 + h]                          # [TE]
-        l_e = jnp.maximum(ge_ref[:, hf0 + heads + h], eps)  # [TE]
-        s_e = ge_ref[:, hf0 + 2 * heads + h]              # [TE]
-        m_safe = jnp.where(m_e <= _NEG * 0.5, 0.0, m_e)
+    # Replay the forward's attention-dropout mask (hash of the seed +
+    # canonical edge id + head; see the forward kernel / ops/dropout.py).
+    # With dropped weights a~ = alpha * k: dps gets a~ * g, and
+    # dalpha -> k * <ps, g>; the softmax-backward sum S (computed from
+    # out·g, which already includes the dropout) is unchanged.
+    aw_all = alpha_all
+    dmul_all = dalpha_all
+    if attn_dropout_rate > 0.0:
+        from relgat_projector_tpu.ops.dropout import edge_keep_mask_all_heads
 
-        eraw = eraw_all[:, h]                             # [TE]
-        e_h = jnp.where(eraw >= 0, eraw, negative_slope * eraw)
-        alpha = jnp.exp(e_h - m_safe) / l_e * maskf       # [TE]
+        eid = meta_ref[0, 3, :]
+        k_all = edge_keep_mask_all_heads(
+            eid, heads, seed_ref[0, 0], attn_dropout_rate
+        ) / (1.0 - attn_dropout_rate)
+        aw_all = alpha_all * k_all
+        dmul_all = dalpha_all * k_all
+    de_all = alpha_all * (dmul_all - s_all)
+    de_all = de_all * jnp.where(eraw_all >= 0, 1.0, negative_slope)
 
-        # Replay the forward's attention-dropout mask (hash of the seed +
-        # canonical edge id + head; see the forward kernel / ops/dropout.py).
-        # With dropped weights a~ = alpha * k: dps gets a~ * g, and
-        # dalpha -> k * <ps, g>; the softmax-backward sum S (computed from
-        # out·g, which already includes the dropout) is unchanged.
-        aw = alpha
-        dalpha = dalpha_all[:, h]                         # [TE]
-        if attn_dropout_rate > 0.0:
-            from relgat_projector_tpu.ops.dropout import edge_keep_mask
+    def _expand(a):
+        # [TE, H] -> [TE, H*F] per-head-contiguous lane broadcast (VPU).
+        return jnp.concatenate(
+            [jnp.broadcast_to(a[:, h:h + 1], (a.shape[0], f))
+             for h in range(heads)], axis=1,
+        )
 
-            eid = meta_ref[0, 3, :]
-            k_e = edge_keep_mask(
-                eid, h, seed_ref[0, 0], attn_dropout_rate
-            ) / (1.0 - attn_dropout_rate)
-            aw = alpha * k_e
-            dalpha = dalpha * k_e
-        de = alpha * (dalpha - s_e)
-        de = de * jnp.where(eraw >= 0, 1.0, negative_slope)
-
-        contrib_cols.append(aw[:, None] * g_h + de[:, None] * rel_att)
-        deps_cols.append(de[:, None] * ps_h)
-
-    contrib = jnp.concatenate(contrib_cols, axis=1)       # [TE, H*F]
-    deps = jnp.concatenate(deps_cols, axis=1)             # [TE, H*F]
+    de_exp = _expand(de_all)                              # [TE, H*F]
+    contrib = _expand(aw_all) * g_all + de_exp * rel_att_all
+    deps = de_exp * ps_all                                # [TE, H*F]
     partial = jnp.dot(
         onehot_s, contrib, preferred_element_type=jnp.float32, precision=hi,
     )                                                     # [TD, H*F]
