@@ -117,7 +117,9 @@ def _fused_kernel(
     # All-heads SDDMM via the block-diagonal MXU pass (same trick as the
     # backward): per-head lane reductions become one [TE, HF] @ [HF, H].
     hf0 = heads * f
-    ps_all = ps_ref[:]                                    # [TE, H*F]
+    # bf16 stream in "default"-precision mode (halves the dominant HBM
+    # traffic); upcast once at read — the MXU runs bf16 passes either way.
+    ps_all = ps_ref[:].astype(jnp.float32)                # [TE, H*F]
     col_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 0) // f
     row_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 1)
     bdiag = (col_h == row_h).astype(jnp.float32)          # [HF, H]
@@ -371,8 +373,8 @@ def _bwd_src_kernel(
     # instead of 2*H per-head [TE, F] lane reductions (VPU chains were the
     # backward's bottleneck): (ps * x) @ blockdiag[HF, H].
     hf0 = heads * f
-    ps_all = ps_ref[:]                                    # [TE, H*F]
-    g_all = ge_ref[:, :hf0]                               # [TE, H*F]
+    ps_all = ps_ref[:].astype(jnp.float32)                # [TE, H*F]
+    g_all = ge_ref[:, :hf0].astype(jnp.float32)           # [TE, H*F]
     col_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 0) // f
     row_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 1)
     bd = (col_h == row_h).astype(jnp.float32)             # [HF, H]
@@ -391,9 +393,11 @@ def _bwd_src_kernel(
     # what the grid amortizes worst). The earlier slower "panel variant"
     # (80.6 vs 75.8 ms) expanded [TE, H] -> [TE, H*F] with K=4 MXU matmuls;
     # this one uses VPU lane broadcasts.
-    m_all = ge_ref[:, hf0:hf0 + heads]                    # [TE, H]
-    l_all = jnp.maximum(ge_ref[:, hf0 + heads:hf0 + 2 * heads], eps)
-    s_all = ge_ref[:, hf0 + 2 * heads:hf0 + 3 * heads]    # [TE, H]
+    m_all = ge_ref[:, hf0:hf0 + heads].astype(jnp.float32)  # [TE, H]
+    l_all = jnp.maximum(
+        ge_ref[:, hf0 + heads:hf0 + 2 * heads].astype(jnp.float32), eps
+    )
+    s_all = ge_ref[:, hf0 + 2 * heads:hf0 + 3 * heads].astype(jnp.float32)
     m_safe = jnp.where(m_all <= _NEG * 0.5, 0.0, m_all)
     e_act = jnp.where(eraw_all >= 0, eraw_all, negative_slope * eraw_all)
     alpha_all = jnp.exp(e_act - m_safe) / l_all * maskf[:, None]  # [TE, H]
@@ -445,7 +449,7 @@ def _bwd_src_kernel(
         onehot_r.T, deps, preferred_element_type=jnp.float32, precision=hi,
     )
 
-    gs_e = ge_ref[:, heads * f + 3 * heads]               # [TE]
+    gs_e = ge_ref[:, heads * f + 3 * heads].astype(jnp.float32)  # [TE]
     bias_contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
     dbias_ref[:] += jnp.where(lane == 0, bias_contrib[:, None], 0.0)

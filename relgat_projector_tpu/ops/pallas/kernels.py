@@ -44,11 +44,26 @@ def _xla_reference(
     )
 
 
-def _gather_ps(h, src, heads, f):
+def _gather_ps(h, src, heads, f, dtype=jnp.float32):
     """Row-major source gather (axis-0 take is ~4x faster than axis-1);
-    returns the 2D ``[E_bp, H*F]`` layout the kernels stream."""
+    returns the 2D ``[E_bp, H*F]`` layout the kernels stream. Casting the
+    node-sized array BEFORE the edge-sized gather halves the gather's
+    write traffic when ``dtype`` is bf16."""
     n_pad = h.shape[0]
-    return jnp.take(h.reshape(n_pad, heads * f), src, axis=0)
+    return jnp.take(
+        h.reshape(n_pad, heads * f).astype(dtype), src, axis=0
+    )
+
+
+def _stream_dtype(precision):
+    """Per-edge gather streams ride bf16 in "default" (1-pass bf16 MXU)
+    mode: the kernels' dominant HBM traffic halves, and the MXU consumes
+    bf16 operands natively at that precision. Exact tiers keep fp32."""
+    return (
+        jnp.bfloat16
+        if precision == jax.lax.Precision.DEFAULT
+        else jnp.float32
+    )
 
 
 def _zero_cotangent(tree):
@@ -75,7 +90,7 @@ def _segment_fwd(
     heads, num_rel, f = attn_bank.shape
     td = be.block_nodes
 
-    ps = _gather_ps(h, be.src, heads, f)
+    ps = _gather_ps(h, be.src, heads, f, _stream_dtype(precision))
     out_blocks, stats = fused_relgat_forward(
         ps, be, attn_bank.astype(jnp.float32),
         rel_bias if use_bias else None,
@@ -131,8 +146,12 @@ def _bwd_from_packed(
 
     heads, num_rel, f = attn_bank.shape
     td = bs.block_nodes
+    # The packed g/stats stream stays fp32 in every mode: bf16 softmax
+    # statistics (m shifts the exponent, S enters the cancellation-prone
+    # de = alpha * (dalpha - S)) measured ~13% dh error — only the source
+    # features ride bf16 in "default" mode.
     ge_all = jnp.take(packed, bs.dst, axis=0)
-    ps_src = _gather_ps(h, bs.src, heads, f)
+    ps_src = _gather_ps(h, bs.src, heads, f, _stream_dtype(precision))
     dh_blocks, dattn, dbias = fused_relgat_backward_src(
         ps_src, ge_all, bs, attn_bank,
         negative_slope=negative_slope, eps=eps,
@@ -584,7 +603,9 @@ def relgat_propagate_pallas(
     """Drop-in replacement for the XLA ``relgat_propagate`` using the fused
     Pallas kernels over the block-padded layout. ``kernel_precision``:
     "highest" (fp32-exact, reference parity), "high" (bf16x3, ~1e-6 rel) or
-    "default" (bf16, ~4e-3 rel) MXU passes.
+    "default": 1-pass bf16 MXU AND bf16 source-feature gather streams
+    (~8e-3 fwd / ~8e-2 max dh vs fp32 — consistent with a bf16-rounded-
+    input fp32 oracle to ~2e-3; convergence-checked end-to-end).
 
     Attention dropout stays IN the fused kernels: the mask hashes
     ``(seed, canonical edge id, head)`` (``ops/dropout.py``) so the
