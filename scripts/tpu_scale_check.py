@@ -32,6 +32,8 @@ def main():
                     default=0,
                     help=">1: segment-scanned propagate (bounds per-edge "
                          "gather memory; ModelConfig.scan_segments)")
+    ap.add_argument("--kernel-precision", default="highest",
+                    choices=["highest", "high", "default"])
     args = ap.parse_args()
 
     import jax
@@ -69,6 +71,7 @@ def main():
         project_to_input_size=True, projection_layers=2,
         scorer_type="distmult", use_pallas=True, remat=args.remat,
         scan_segments=args.scan_segments,
+        kernel_precision=args.kernel_precision,
     )
     tcfg = TrainConfig(
         train_batch_size=1024, num_neg=16, lr=1e-4, use_self_adv_neg=True,
