@@ -39,22 +39,6 @@ def keep_threshold(rate: float) -> int:
     return int((1.0 - float(rate)) * _MASK31)
 
 
-def edge_keep_mask(
-    edge_ids: jax.Array,   # int32, any shape
-    head: jax.Array | int,  # scalar head index (or broadcastable array)
-    seed: jax.Array,       # int32 scalar
-    rate: float,
-) -> jax.Array:
-    """float32 {0, 1} keep mask, same shape as ``edge_ids``."""
-    x = (
-        edge_ids.astype(jnp.int32) * jnp.int32(_GOLD)
-        + jnp.int32(seed)
-        + jnp.int32(head) * jnp.int32(_MIX2)
-    )
-    u = _fmix(x) & jnp.int32(_MASK31)
-    return (u < jnp.int32(keep_threshold(rate))).astype(jnp.float32)
-
-
 def edge_keep_mask_all_heads(
     edge_ids: jax.Array,   # [E] int32
     heads: int,

@@ -33,7 +33,7 @@ Numerics match the reference (denominator clamp 1e-16 —
 to the max-shifted two-pass softmax; a dst whose own max sits ``delta``
 below its chunks' references carries ``p ~ exp(-delta)`` — exact in fp32
 (scale-invariant) until exp underflow at ``delta ~ 88``, far beyond
-LeakyReLU'd logit spreads within 512-edge chunks. Matmuls default to
+LeakyReLU'd logit spreads within TE-edge (256 default) chunks. Matmuls default to
 HIGHEST (fp32) precision.
 
 The backward recomputes the SDDMM from the saved ``(m, l)`` statistics and
@@ -58,6 +58,17 @@ _NEG = float(-1e30)
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _expand(a, heads: int, f: int):
+    # [X, H] -> [X, H*F] per-head-contiguous lane broadcast (VPU; the
+    # [X, H] @ [H, H*F] expansion-matmul variant measured slower). Shared
+    # by the forward and backward kernels so their lane layouts cannot
+    # drift apart.
+    return jnp.concatenate(
+        [jnp.broadcast_to(a[:, h:h + 1], (a.shape[0], f))
+         for h in range(heads)], axis=1,
+    )
 
 
 def _fused_kernel(
@@ -138,7 +149,7 @@ def _fused_kernel(
     # that dominated the forward's VPU time. A dst whose own max sits
     # delta below the chunk max carries p ~ exp(-delta); ratios stay exact
     # in fp32 until delta ~ 88 (exp underflow) — far beyond LeakyReLU'd
-    # attention-logit spreads within one 512-edge chunk.
+    # attention-logit spreads within one TE-edge chunk.
     c_m = jnp.max(e_all, axis=0)                          # [H]
     p_all = jnp.exp(e_all - c_m[None, :]) * maskf[:, None]  # [TE, H]
     # One [TD, TE] @ [TE, H+1] matmul accumulates both the per-dst
@@ -161,14 +172,6 @@ def _fused_kernel(
     m_s[:] = m_new
     l_s[:] = l_new_all
 
-    def _expand(a):
-        # [X, H] -> [X, H*F] per-head-contiguous lane broadcast (VPU; the
-        # [X, H] @ [H, H*F] expansion-matmul variant measured slower).
-        return jnp.concatenate(
-            [jnp.broadcast_to(a[:, h:h + 1], (a.shape[0], f))
-             for h in range(heads)], axis=1,
-        )
-
     # attention-weight dropout (reference ``layer.py:296-297``): applied to
     # normalized weights -> to p in the numerator only (denominator l keeps
     # the un-dropped weights, matching dropout AFTER normalization). The
@@ -188,12 +191,12 @@ def _fused_kernel(
     # per-head N=F variant issued H matmuls at half lane utilization and
     # its slice/broadcast chains dominated the per-chunk op count).
     partial_all = jnp.dot(
-        onehot_d, _expand(p_acc_all) * ps_all,
+        onehot_d, _expand(p_acc_all, heads, f) * ps_all,
         preferred_element_type=jnp.float32, precision=hi,
     )                                                     # [TD, H*F]
     acc_new = (
-        acc_s[:] * _expand(scale_prev)
-        + partial_all * _expand(scale_chunk)
+        acc_s[:] * _expand(scale_prev, heads, f)
+        + partial_all * _expand(scale_chunk, heads, f)
     )
     acc_s[:] = acc_new
 
@@ -203,7 +206,9 @@ def _fused_kernel(
 
     # ---- write normalized output (final chunk of the block wins) --------
     denom = jnp.maximum(l_new_all, eps)                   # [TD, H]
-    out_ref[:] = acc_new / _expand(denom) + b_new[:, None]  # [TD, H*F]
+    out_ref[:] = (
+        acc_new / _expand(denom, heads, f) + b_new[:, None]
+    )                                                     # [TD, H*F]
 
     # Stats as one full-block 3D store (Mosaic rejects 1-D writes into 3-D
     # refs); tiny [TD, H] stacks.
@@ -421,15 +426,8 @@ def _bwd_src_kernel(
     de_all = alpha_all * (dmul_all - s_all)
     de_all = de_all * jnp.where(eraw_all >= 0, 1.0, negative_slope)
 
-    def _expand(a):
-        # [TE, H] -> [TE, H*F] per-head-contiguous lane broadcast (VPU).
-        return jnp.concatenate(
-            [jnp.broadcast_to(a[:, h:h + 1], (a.shape[0], f))
-             for h in range(heads)], axis=1,
-        )
-
-    de_exp = _expand(de_all)                              # [TE, H*F]
-    contrib = _expand(aw_all) * g_all + de_exp * rel_att_all
+    de_exp = _expand(de_all, heads, f)                    # [TE, H*F]
+    contrib = _expand(aw_all, heads, f) * g_all + de_exp * rel_att_all
     deps = de_exp * ps_all                                # [TE, H*F]
     partial = jnp.dot(
         onehot_s, contrib, preferred_element_type=jnp.float32, precision=hi,

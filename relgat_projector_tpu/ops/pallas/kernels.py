@@ -602,7 +602,8 @@ def relgat_propagate_pallas(
 ) -> jax.Array:
     """Drop-in replacement for the XLA ``relgat_propagate`` using the fused
     Pallas kernels over the block-padded layout. ``kernel_precision``:
-    "highest" (fp32-exact, reference parity), "high" (bf16x3, ~1e-6 rel) or
+    "highest" (fp32-exact, reference parity), "high" (alias of "highest" —
+    Mosaic's dot lowering exposes no intermediate bf16x3 tier) or
     "default": 1-pass bf16 MXU AND bf16 source-feature gather streams
     (~8e-3 fwd / ~8e-2 max dh vs fp32 — consistent with a bf16-rounded-
     input fp32 oracle to ~2e-3; convergence-checked end-to-end).

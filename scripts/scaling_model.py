@@ -84,7 +84,7 @@ def main():
                     help="measured 1-chip edge-messages/s (bench.py)")
     ap.add_argument("--ici-gbps", type=float, default=45.0,
                     help="one-way per-device ICI bandwidth, GB/s")
-    ap.add_argument("--shards", type=int, nargs="*",
+    ap.add_argument("--shards", type=int, nargs="+",
                     default=[2, 4, 8, 16])
     args = ap.parse_args()
 

@@ -288,3 +288,54 @@ def test_pallas_attention_dropout_replay_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_default_precision_bf16_streams_match_rounded_oracle():
+    """``kernel_precision="default"`` rides bf16 source-feature streams
+    (``ops/pallas/kernels._stream_dtype``). Against an fp32 XLA oracle fed
+    the SAME bf16-rounded inputs the mode must stay tight — that isolates
+    the stream cast (the only intended delta on CPU, where interpret-mode
+    dots run fp32 regardless of precision) from inherent input-rounding
+    sensitivity."""
+    rng = np.random.default_rng(3)
+    n, e, r, heads, f = 500, 4000, 6, 4, 16
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    et = rng.integers(0, r, e).astype(np.int32)
+    g = build_graph(src, dst, et, n, blocked=True, block_nodes=64,
+                    chunk_edges=128)
+    h = jnp.asarray(
+        rng.standard_normal((g.num_nodes, heads, f)).astype(np.float32)
+    )
+    attn = jnp.asarray(
+        (rng.standard_normal((heads, r, f)) * 0.3).astype(np.float32)
+    )
+    bias = jnp.asarray((rng.standard_normal(r) * 0.1).astype(np.float32))
+
+    def loss_p(h_, a_, b_):
+        return jnp.sum(jnp.sin(relgat_propagate_pallas(
+            h_, a_, b_, g.blocked, kernel_precision="default")[:n]))
+
+    def loss_oracle(h_, a_, b_):
+        hr = h_.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.sum(jnp.sin(relgat_propagate(
+            hr, a_, b_, g.src, g.dst, g.etype, num_nodes=g.num_nodes,
+            edges_sorted_by_dst=True)[:n]))
+
+    got = relgat_propagate_pallas(
+        h, attn, bias, g.blocked, kernel_precision="default"
+    )
+    hr = h.astype(jnp.bfloat16).astype(jnp.float32)
+    want = relgat_propagate(
+        hr, attn, bias, g.src, g.dst, g.etype, num_nodes=g.num_nodes,
+        edges_sorted_by_dst=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[:n], np.asarray(want)[:n], rtol=2e-3, atol=1e-4
+    )
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(h, attn, bias)
+    gx = jax.grad(loss_oracle, argnums=(0, 1, 2))(h, attn, bias)
+    for name, a, b in zip(("dh", "dattn", "dbias"), gp, gx):
+        scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-9)
+        err = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
+        assert err < 5e-3, (name, err)
