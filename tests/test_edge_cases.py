@@ -109,3 +109,38 @@ def test_dense_hub_node_pallas():
     got = relgat_propagate_pallas(h, attn, bias, g.blocked)
     np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(want)[:n],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_many_relations_graph_pallas():
+    """R far above the tested 40 (the kernels' one-hot relation matmuls
+    scale with R; a 200-relation KG must stay exact, fwd and grads)."""
+    rng = np.random.default_rng(5)
+    n, e, r = 60, 400, 200
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    et = rng.integers(0, r, e).astype(np.int32)
+    g = build_graph(src, dst, et, num_nodes=n, blocked=True,
+                    block_nodes=16, chunk_edges=64)
+    h = jnp.asarray(
+        rng.standard_normal((g.num_nodes, 2, 8)).astype(np.float32)
+    )
+    attn = jnp.asarray(
+        (rng.standard_normal((2, r, 8)) * 0.3).astype(np.float32)
+    )
+    bias = jnp.asarray((rng.standard_normal(r) * 0.1).astype(np.float32))
+    want = relgat_propagate(h, attn, bias, g.src, g.dst, g.etype,
+                            num_nodes=g.num_nodes)
+    got = relgat_propagate_pallas(h, attn, bias, g.blocked)
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(want)[:n],
+                               rtol=1e-4, atol=1e-5)
+
+    gp = jax.grad(lambda a_, b_: jnp.sum(jnp.sin(
+        relgat_propagate_pallas(h, a_, b_, g.blocked)[:n])),
+        argnums=(0, 1))(attn, bias)
+    gx = jax.grad(lambda a_, b_: jnp.sum(jnp.sin(
+        relgat_propagate(h, a_, b_, g.src, g.dst, g.etype,
+                         num_nodes=g.num_nodes)[:n])),
+        argnums=(0, 1))(attn, bias)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
