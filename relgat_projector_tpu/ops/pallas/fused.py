@@ -323,7 +323,14 @@ def fused_relgat_forward(
 
 def _bwd_src_kernel(
     cb_ref,      # [C] int32 scalar prefetch (src-blocked chunk -> block)
-    ps_ref,      # [TE, H*F]   h gathered at src (src-sorted -> cheap)
+    cbh_ref,     # [C] int32 scalar prefetch: h-block id per chunk (equals
+    #              cb for the plain/halo paths; cb + segment offset for the
+    #              scanned path, whose block ids are segment-local)
+    h_ref,       # [TD, H*F]  the chunk's SOURCE block of node features —
+    #              every edge in a src-blocked chunk reads from ONE block,
+    #              so the [E_bp, H*F] ps_src gather is gone: Mosaic revisits
+    #              this block across the block's chunks (no re-DMA) and the
+    #              kernel gathers rows with the one-hot MXU trick below
     ge_ref,      # [TE, H*F + 8*H]  PACKED per-edge stream gathered at dst:
     #              cols [0:HF] = g rows; then per-edge stats [HF+0:HF+H]=m,
     #              [HF+H:HF+2H]=l, [HF+2H:HF+3H]=S, col HF+3H = gsum
@@ -363,6 +370,8 @@ def _bwd_src_kernel(
     onehot_r = (et[:, None] == rel_ids).astype(jnp.float32)   # [TE, R]
     rows = jax.lax.broadcasted_iota(jnp.int32, (td, te), 0)
     onehot_s = (rows == ls[None, :]).astype(jnp.float32)      # [TD, TE]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (te, td), 1)
+    onehot_st = (cols == ls[:, None]).astype(jnp.float32)     # [TE, TD]
 
     @pl.when(c == 0)
     def _():
@@ -378,7 +387,14 @@ def _bwd_src_kernel(
     # instead of 2*H per-head [TE, F] lane reductions (VPU chains were the
     # backward's bottleneck): (ps * x) @ blockdiag[HF, H].
     hf0 = heads * f
-    ps_all = ps_ref[:].astype(jnp.float32)                # [TE, H*F]
+    # In-kernel per-edge source gather: one-hot row-select from the
+    # chunk's source block (per-edge scalar gathers through the MXU is
+    # the project's established pattern; masked slots pick garbage rows
+    # that alpha/de zero downstream).
+    ps_all = jnp.dot(
+        onehot_st, h_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=hi,
+    )                                                     # [TE, H*F]
     g_all = ge_ref[:, :hf0].astype(jnp.float32)           # [TE, H*F]
     col_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 0) // f
     row_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 1)
@@ -454,12 +470,17 @@ def _bwd_src_kernel(
 
 
 def fused_relgat_backward_src(
-    ps_src: jax.Array,    # [E_bp_src, H*F] h gathered at by_src.src
+    h_blocks: jax.Array,  # [NB_h*TD, H*F] SOURCE node features, 2D, padded
+    #                       to whole blocks (src-blocked chunks read one
+    #                       block each — no [E_bp, H*F] gather)
     ge_packed: jax.Array,  # [E_bp_src, H*F + 8*H] gathered at by_src.dst:
     #                        g rows ++ per-edge stats (m, l, S, gsum cols)
     bs: BlockedEdges,     # src-blocked layout
     attn: jax.Array,      # [H, R, F]
     *,
+    chunk_block_h: Optional[jax.Array] = None,  # [C] h-block id per chunk
+    #   (defaults to bs.chunk_block; the scanned path passes local block
+    #   ids offset into the global h)
     negative_slope: float = 0.2,
     eps: float = 1e-16,
     attn_dropout_rate: float = 0.0,
@@ -468,10 +489,12 @@ def fused_relgat_backward_src(
 ):
     """Returns ``(dh_blocks [NB*TD, H*F], dattn [H, R, F], dbias [R])``."""
     heads, num_rel, f = attn.shape
-    e_bp, hf = ps_src.shape
+    hf = heads * f
     te = bs.chunk_edges
     td = bs.block_nodes
     c = bs.num_chunks
+    if chunk_block_h is None:
+        chunk_block_h = bs.chunk_block
 
     attn_flat = jnp.transpose(attn, (1, 0, 2)).reshape(num_rel, hf)
     seed = jnp.reshape(
@@ -493,25 +516,25 @@ def fused_relgat_backward_src(
         precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((te, hf), lambda i, cb: (i, 0),
+            pl.BlockSpec((td, hf), lambda i, cb, cbh: (cbh[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((te, hf + 8 * heads), lambda i, cb: (i, 0),
+            pl.BlockSpec((te, hf + 8 * heads), lambda i, cb, cbh: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, te), lambda i, cb: (i, 0, 0),
+            pl.BlockSpec((1, 8, te), lambda i, cb, cbh: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
+            pl.BlockSpec((num_rel, hf), lambda i, cb, cbh: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
+            pl.BlockSpec((td, hf), lambda i, cb, cbh: (cb[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_rel, hf), lambda i, cb: (0, 0),
+            pl.BlockSpec((num_rel, hf), lambda i, cb, cbh: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_rel, 128), lambda i, cb: (0, 0),
+            pl.BlockSpec((num_rel, 128), lambda i, cb, cbh: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -524,6 +547,7 @@ def fused_relgat_backward_src(
             jax.ShapeDtypeStruct((num_rel, 128), jnp.float32),
         ),
         interpret=_interpret(),
-    )(bs.chunk_block, ps_src, ge_packed, bs.chunk_meta, attn_flat, seed)
+    )(bs.chunk_block, chunk_block_h, h_blocks, ge_packed, bs.chunk_meta,
+      attn_flat, seed)
     dattn = jnp.transpose(dattn_flat.reshape(num_rel, heads, f), (1, 0, 2))
     return dh_blocks, dattn, dbias[:, 0]

@@ -136,10 +136,19 @@ def _packed_stream(g, out_blocks, stats, heads, f):
 def _bwd_from_packed(
     h, attn_bank, packed, bs, seed,
     *, use_bias, negative_slope, eps, attn_dropout_rate, precision,
+    chunk_block_h=None, src_rows_total=None,
 ):
     """Backward over ONE src-blocked layout ``bs`` given the packed per-dst
     stream (``bs.dst`` indexes it). Returns ``(dh_blocks [NB*TD, H*F]
-    — the src-block space of ``bs``, masked; dattn, dbias)``."""
+    — the src-block space of ``bs``, masked; dattn, dbias)``.
+
+    The source features are NOT gathered to edge size: every src-blocked
+    chunk reads one [TD, H*F] block of ``h``, which the kernel loads by
+    block index and row-selects in-kernel (one-hot MXU) — removing the
+    [E_bp, H*F] ps_src gather and its HBM stream entirely. ``h`` only
+    needs padding to whole blocks (``src_rows_total`` overrides for the
+    scanned path, whose segment-local block ids index into global ``h``
+    via ``chunk_block_h``)."""
     from relgat_projector_tpu.ops.pallas.fused import (
         fused_relgat_backward_src,
     )
@@ -151,9 +160,17 @@ def _bwd_from_packed(
     # de = alpha * (dalpha - S)) measured ~13% dh error — only the source
     # features ride bf16 in "default" mode.
     ge_all = jnp.take(packed, bs.dst, axis=0)
-    ps_src = _gather_ps(h, bs.src, heads, f, _stream_dtype(precision))
+    n_src = h.shape[0]
+    hb = h.reshape(n_src, heads * f).astype(_stream_dtype(precision))
+    rows_needed = (
+        src_rows_total if src_rows_total is not None
+        else bs.num_blocks * td
+    )
+    if rows_needed > n_src:
+        hb = jnp.pad(hb, ((0, rows_needed - n_src), (0, 0)))
     dh_blocks, dattn, dbias = fused_relgat_backward_src(
-        ps_src, ge_all, bs, attn_bank,
+        hb, ge_all, bs, attn_bank,
+        chunk_block_h=chunk_block_h,
         negative_slope=negative_slope, eps=eps,
         attn_dropout_rate=attn_dropout_rate, dropout_seed=seed,
         precision=precision,
@@ -496,10 +513,20 @@ def _make_scanned_propagate(
             f,
         )
 
-        def seg(carry, bs_i):
+        rows_s = sbg.rows_src
+        blocks_per_seg = rows_s // sbg.by_src.block_nodes
+        offsets = jnp.arange(s, dtype=jnp.int32) * blocks_per_seg
+
+        def seg(carry, xs):
+            bs_i, off_i = xs
             dattn_acc, dbias_acc = carry
+            # Segment block ids are LOCAL; the kernel's h input indexes the
+            # GLOBAL feature rows, so offset by the segment's block base.
             dh_blocks, dattn, dbias = _bwd_from_packed(
-                h, attn_bank, packed, bs_i, seed, **cfg
+                h, attn_bank, packed, bs_i, seed,
+                chunk_block_h=bs_i.chunk_block + off_i,
+                src_rows_total=s * rows_s,
+                **cfg,
             )
             return (dattn_acc + dattn, dbias_acc + dbias), dh_blocks
 
@@ -507,7 +534,9 @@ def _make_scanned_propagate(
             jnp.zeros((heads, num_rel, f), jnp.float32),
             jnp.zeros((num_rel,), jnp.float32),
         )
-        (dattn, dbias), dh_segs = jax.lax.scan(seg, init, sbg.by_src)
+        (dattn, dbias), dh_segs = jax.lax.scan(
+            seg, init, (sbg.by_src, offsets)
+        )
         # Src segments own disjoint contiguous row ranges: concatenate.
         dh = dh_segs.reshape(s * sbg.rows_src, heads, f)[: h.shape[0]]
         drel = dbias if use_bias else jnp.zeros_like(rel_bias)
