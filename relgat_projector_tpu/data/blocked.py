@@ -37,15 +37,21 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockedEdges:
-    """One block-padded edge ordering (by dst for fwd, by src for bwd)."""
+    """One block-padded edge ordering (by dst for fwd, by src for bwd).
 
-    src: jax.Array          # [E_bp] int32 gather index per slot
-    dst: jax.Array          # [E_bp] int32 (non-decreasing for dst-blocking)
-    etype: jax.Array        # [E_bp] int32
-    mask: jax.Array         # [E_bp] float32, 1.0 = real edge
-    local_seg: jax.Array    # [E_bp] int32, seg - block*TD in [0, TD)
+    Only the arrays the kernels actually stream live on device: everything
+    per-edge the kernels need (etype, local row, mask, canonical edge id)
+    is packed into ``chunk_meta``; the dst-blocked layout additionally
+    carries ``src`` (the forward's gather index) and the src-blocked one
+    carries ``dst`` (the backward's packed-stream gather index). Earlier
+    revisions also shipped etype/mask/local_seg/slot_of_edge/edge_of_slot
+    as standalone [E_bp] device arrays — ~12 dead edge-sized buffers
+    (~800 MB at 16M edges) riding every train step's residuals."""
+
+    src: Optional[jax.Array]  # [E_bp] int32 fwd gather index (by_dst only)
+    dst: Optional[jax.Array]  # [E_bp] int32 bwd packed-stream gather index
+    #                           (by_src only)
     chunk_block: jax.Array  # [C] int32 block id per chunk
-    slot_of_edge: jax.Array  # [E_canonical] int32: canonical edge -> slot
     block_nonempty: jax.Array  # [num_blocks] float32: 1.0 if block has edges
     # (kernel output blocks with no chunks are never written -> garbage;
     # callers must zero rows of empty blocks via this mask)
@@ -53,16 +59,13 @@ class BlockedEdges:
     # a sublane-aligned shape for TPU BlockSpecs (last two dims (8, TE)):
     # row 0 = etype, row 1 = local_seg, row 2 = mask (0/1), row 3 =
     # canonical edge id (dropout-mask hash key), rows 4-7 unused
-    edge_of_slot: jax.Array  # [E_bp] int32: canonical edge index per slot
-    # (padding slots repeat the block's last real edge; only meaningful
-    # where mask == 1)
     block_nodes: int = dataclasses.field(metadata={"static": True})
     chunk_edges: int = dataclasses.field(metadata={"static": True})
     num_blocks: int = dataclasses.field(metadata={"static": True})
 
     @property
     def num_slots(self) -> int:
-        return int(self.src.shape[0])
+        return self.num_chunks * self.chunk_edges
 
     @property
     def num_chunks(self) -> int:
@@ -204,23 +207,22 @@ def _to_blocked_edges(
     num_nodes: int,
     block_nodes: int,
     chunk_edges: int,
+    keep: str = "src",
 ) -> BlockedEdges:
-    """Transfer host layout arrays and build ``chunk_meta`` on device."""
+    """Transfer host layout arrays and build ``chunk_meta`` on device.
+    ``keep`` selects which gather-index array the runtime needs: "src"
+    for dst-blocked (forward) layouts, "dst" for src-blocked (backward)
+    ones; the other stays host-side only."""
     et = jnp.asarray(d["etype"])
     mask = jnp.asarray(d["mask"])
     local = jnp.asarray(d["local_seg"])
     eos = jnp.asarray(d["edge_of_slot"])
     return BlockedEdges(
-        src=jnp.asarray(d["src"]),
-        dst=jnp.asarray(d["dst"]),
-        etype=et,
-        mask=mask,
-        local_seg=local,
+        src=jnp.asarray(d["src"]) if keep == "src" else None,
+        dst=jnp.asarray(d["dst"]) if keep == "dst" else None,
         chunk_block=jnp.asarray(d["chunk_block"]),
-        slot_of_edge=jnp.asarray(d["slot_of_edge"]),
         block_nonempty=jnp.asarray(d["block_nonempty"]),
         chunk_meta=_chunk_meta_device(et, local, mask, eos, chunk_edges),
-        edge_of_slot=eos,
         block_nodes=int(block_nodes),
         chunk_edges=int(chunk_edges),
         num_blocks=-(-num_nodes // block_nodes),
@@ -235,6 +237,7 @@ def _build_one(
     num_nodes: int,
     block_nodes: int,
     chunk_edges: int,
+    keep: str = "src",
 ) -> BlockedEdges:
     return _to_blocked_edges(
         _build_one_np(
@@ -243,6 +246,7 @@ def _build_one(
         num_nodes,
         block_nodes,
         chunk_edges,
+        keep,
     )
 
 
@@ -297,14 +301,11 @@ def _pad_np(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockedGraph:
-    """dst-blocked (forward aggregation) + src-blocked (backward scatter)."""
+    """dst-blocked (forward aggregation) + src-blocked (backward) layouts.
+    (The v1 backward's per-edge grad permutation is gone with it.)"""
 
     by_dst: BlockedEdges
     by_src: BlockedEdges
-    # [E_bp_src] int32: for each src-blocked slot, the dst-blocked slot of
-    # the same canonical edge — permutes per-edge gradients from dst order
-    # into src order for the backward scatter.
-    dst_slot_of_src_slot: jax.Array
     num_nodes: int = dataclasses.field(metadata={"static": True})
 
 
@@ -350,31 +351,17 @@ def build_blocked_shards(
     cs = max(x["chunk_block"].shape[0] for x in per_src)
     emax = max(1, max(x["slot_of_edge"].shape[0] for x in per_dst))
 
-    perms = []
     for g in range(len(per_shard_edges)):
         per_dst[g] = _pad_np(per_dst[g], cd, chunk_edges, emax)
         per_src[g] = _pad_np(per_src[g], cs, chunk_edges, emax)
-        # Per-edge grad permutation (only the v1 backward oracle reads it);
-        # padded slots map to slot 0.
-        e_real = int(per_src[g]["edge_of_slot"].shape[0])
-        n_slots = per_src[g]["src"].shape[0]
-        e_canon = int(
-            np.count_nonzero(per_src[g]["mask"])
-        )
-        if per_dst[g]["slot_of_edge"].shape[0] > 0 and e_canon > 0:
-            perm = per_dst[g]["slot_of_edge"][per_src[g]["edge_of_slot"]]
-        else:
-            perm = np.zeros(n_slots, np.int64)
-        perms.append(perm.astype(np.int32))
-        # Remap slot -> CANONICAL edge id for the dropout hash (after the
-        # perm above, which needs the input-list-indexed form).
+        # Remap slot -> CANONICAL edge id for the dropout hash.
         if eid_maps[g] is not None and eid_maps[g].shape[0] > 0:
             for part in (per_dst[g], per_src[g]):
                 part["edge_of_slot"] = eid_maps[g][
                     part["edge_of_slot"]
                 ].astype(np.int64)
 
-    def stacked_edges(dicts, space):
+    def stacked_edges(dicts, space, keep):
         st = {
             k: np.stack([d[k] for d in dicts]) for k in dicts[0]
         }
@@ -392,25 +379,19 @@ def build_blocked_shards(
             chunk_edges,
         ).reshape(g, c, 8, chunk_edges)
         return BlockedEdges(
-            src=jnp.asarray(st["src"]),
-            dst=jnp.asarray(st["dst"]),
-            etype=et,
-            mask=mask,
-            local_seg=local,
+            src=jnp.asarray(st["src"]) if keep == "src" else None,
+            dst=jnp.asarray(st["dst"]) if keep == "dst" else None,
             chunk_block=jnp.asarray(st["chunk_block"]),
-            slot_of_edge=jnp.asarray(st["slot_of_edge"]),
             block_nonempty=jnp.asarray(st["block_nonempty"]),
             chunk_meta=meta,
-            edge_of_slot=eos,
             block_nodes=int(block_nodes),
             chunk_edges=int(chunk_edges),
             num_blocks=-(-space // block_nodes),
         )
 
     return BlockedGraph(
-        by_dst=stacked_edges(per_dst, dst_space),
-        by_src=stacked_edges(per_src, src_space),
-        dst_slot_of_src_slot=jnp.asarray(np.stack(perms)),
+        by_dst=stacked_edges(per_dst, dst_space, "src"),
+        by_src=stacked_edges(per_src, src_space, "dst"),
         num_nodes=int(dst_space),
     )
 
@@ -427,9 +408,10 @@ class ScannedBlockedGraph:
     segment's edges over ALL src blocks, and per-block chunk padding then
     inflates every segment to ~``num_src_blocks * TE`` slots regardless of
     segment count (measured: 8M edges / 8 segments still produced 3.2M-slot
-    segment streams). ``by_src.src`` stays GLOBAL (for the ``h`` gather);
-    its chunk/block structure lives in the LOCAL src space so each
-    segment's dh rows concatenate.
+    segment streams). ``by_src.dst`` stays GLOBAL (for the packed-stream
+    gather); the chunk/block structure lives in the LOCAL src space so each
+    segment's dh rows concatenate (the backward offsets the local block ids
+    into global ``h`` via its second scalar-prefetch array).
     """
 
     by_dst: BlockedEdges   # stacked [S, ...]; dst LOCAL per segment
@@ -506,17 +488,13 @@ def build_scanned_graph(
             eos_d.reshape(g_n * slots),
             chunk_edges,
         ).reshape(g_n, c, 8, chunk_edges)
+        keep = "dst" if other_is_dst is False else "src"
         return BlockedEdges(
-            src=jnp.asarray(st["src"]),
-            dst=jnp.asarray(st["dst"]),
-            etype=et_d,
-            mask=mask_d,
-            local_seg=local_d,
+            src=jnp.asarray(st["src"]) if keep == "src" else None,
+            dst=jnp.asarray(st["dst"]) if keep == "dst" else None,
             chunk_block=jnp.asarray(st["chunk_block"]),
-            slot_of_edge=jnp.asarray(st["slot_of_edge"]),
             block_nonempty=jnp.asarray(st["block_nonempty"]),
             chunk_meta=meta,
-            edge_of_slot=eos_d,
             block_nodes=int(block_nodes),
             chunk_edges=int(chunk_edges),
             num_blocks=rows // block_nodes,
@@ -552,13 +530,12 @@ def build_blocked_graph(
     d_src = _build_one_np(
         src, src, dst, etype, num_nodes, block_nodes, chunk_edges
     )
-    if src.shape[0] > 0:
-        perm = d_dst["slot_of_edge"][d_src["edge_of_slot"]]
-    else:
-        perm = np.zeros(d_src["src"].shape[0], np.int64)
     return BlockedGraph(
-        by_dst=_to_blocked_edges(d_dst, num_nodes, block_nodes, chunk_edges),
-        by_src=_to_blocked_edges(d_src, num_nodes, block_nodes, chunk_edges),
-        dst_slot_of_src_slot=jnp.asarray(perm.astype(np.int32)),
+        by_dst=_to_blocked_edges(
+            d_dst, num_nodes, block_nodes, chunk_edges, "src"
+        ),
+        by_src=_to_blocked_edges(
+            d_src, num_nodes, block_nodes, chunk_edges, "dst"
+        ),
         num_nodes=int(num_nodes),
     )

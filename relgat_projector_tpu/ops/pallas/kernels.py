@@ -21,29 +21,6 @@ from relgat_projector_tpu.data.blocked import BlockedEdges, BlockedGraph
 from relgat_projector_tpu.ops.segment import STABLE_SOFTMAX_EPS
 
 
-def _xla_reference(
-    h, attn_bank, rel_bias, be: BlockedEdges, num_nodes,
-    *, negative_slope, eps, attn_dropout_rate=0.0, dropout_rng=None,
-):
-    """XLA propagate on the blocked arrays (identical math, identical
-    hash-derived dropout masks via ``be.edge_of_slot``) — the validation
-    oracle for the fused kernels."""
-    from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
-
-    return relgat_propagate(
-        h, attn_bank, rel_bias, be.src, be.dst, be.etype,
-        num_nodes=num_nodes,
-        negative_slope=negative_slope,
-        eps=eps,
-        attn_dropout_rate=attn_dropout_rate,
-        dropout_rng=dropout_rng,
-        edges_sorted_by_dst=True,
-        edge_mask=be.mask,
-        use_pallas=False,
-        dropout_edge_ids=be.edge_of_slot,
-    )
-
-
 def _gather_ps(h, src, heads, f, dtype=jnp.float32):
     """Row-major source gather (axis-0 take is ~4x faster than axis-1);
     returns the 2D ``[E_bp, H*F]`` layout the kernels stream. Casting the

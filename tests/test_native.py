@@ -10,9 +10,16 @@ from relgat_projector_tpu.data.native import load_native
 
 
 def _build(src, dst, et, n, td, te):
-    return blocked_mod.build_blocked_graph(
-        src, dst, et, n, block_nodes=td, chunk_edges=te
+    """Both layout families at the host-dict level (where the native C++
+    builder plugs in and every array still exists; the device dataclass
+    ships only the runtime subset)."""
+    s64, d64, e64 = (
+        src.astype(np.int64), dst.astype(np.int64), et.astype(np.int64)
     )
+    return {
+        "by_dst": blocked_mod._build_one_np(d64, s64, d64, e64, n, td, te),
+        "by_src": blocked_mod._build_one_np(s64, s64, d64, e64, n, td, te),
+    }
 
 
 @pytest.mark.skipif(load_native() is None, reason="no native toolchain")
@@ -29,14 +36,12 @@ def test_native_matches_numpy_blocked_layout(monkeypatch):
     numpy_ = _build(src, dst, et, n, td=32, te=128)
 
     for layout in ("by_dst", "by_src"):
-        a, b = getattr(native, layout), getattr(numpy_, layout)
-        for field in (
-            "src", "dst", "etype", "mask", "local_seg", "chunk_block",
-            "slot_of_edge", "block_nonempty", "chunk_meta", "edge_of_slot",
-        ):
+        a, b = native[layout], numpy_[layout]
+        assert a.keys() == b.keys()
+        for field in a:
             np.testing.assert_array_equal(
-                np.asarray(getattr(a, field)),
-                np.asarray(getattr(b, field)),
+                np.asarray(a[field]),
+                np.asarray(b[field]),
                 err_msg=f"{layout}.{field}",
             )
 

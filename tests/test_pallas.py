@@ -31,31 +31,50 @@ def _random_case(n=150, e=900, r=7, heads=3, f=16, seed=0, td=16, te=64):
 
 
 def test_blocked_layout_invariants():
+    """Host-dict-level builder invariants (the device dataclass now ships
+    only the runtime arrays; everything else lives in the host layout
+    dicts + chunk_meta)."""
+    from relgat_projector_tpu.data.blocked import _build_one_np
+
     src, dst, et, bg, *_ = _random_case()
-    be = bg.by_dst
-    d = np.asarray(be.dst)
-    m = np.asarray(be.mask)
+    td, te = bg.by_dst.block_nodes, bg.by_dst.chunk_edges
+    bd = _build_one_np(
+        dst.astype(np.int64), src.astype(np.int64), dst.astype(np.int64),
+        et.astype(np.int64), bg.num_nodes, td, te,
+    )
+    d = bd["dst"]
+    m = bd["mask"]
     assert (np.diff(d) >= 0).all()  # global dst-sortedness incl. padding
-    assert be.num_slots % be.chunk_edges == 0
+    assert bg.by_dst.num_slots % te == 0
     assert m.sum() == 900
     # every chunk's edges belong to exactly its block
-    cb = np.asarray(be.chunk_block)
-    for c in range(be.num_chunks):
-        sl = slice(c * be.chunk_edges, (c + 1) * be.chunk_edges)
-        blocks = d[sl] // be.block_nodes
-        assert (blocks == cb[c]).all()
+    cb = bd["chunk_block"]
+    np.testing.assert_array_equal(cb, np.asarray(bg.by_dst.chunk_block))
+    for c in range(cb.shape[0]):
+        sl = slice(c * te, (c + 1) * te)
+        assert (d[sl] // td == cb[c]).all()
     # real edges form the same multiset as the input
     real = m > 0
-    got = sorted(zip(np.asarray(be.src)[real], d[real], np.asarray(be.etype)[real]))
+    got = sorted(zip(bd["src"][real], d[real], bd["etype"][real]))
     want = sorted(zip(src, dst, et))
     assert got == want
-    # local_seg consistent
+    # local_seg consistent, and it is what chunk_meta row 1 carries
+    np.testing.assert_array_equal(bd["local_seg"], d - (d // td) * td)
+    meta = np.asarray(bg.by_dst.chunk_meta)
     np.testing.assert_array_equal(
-        np.asarray(be.local_seg), d - (d // be.block_nodes) * be.block_nodes
+        meta[:, 1, :].reshape(-1), bd["local_seg"]
     )
+    np.testing.assert_array_equal(meta[:, 0, :].reshape(-1), bd["etype"])
+    np.testing.assert_array_equal(meta[:, 2, :].reshape(-1), m.astype(np.int32))
+    # the device runtime layouts carry ONLY their gather index
+    assert bg.by_dst.dst is None and bg.by_src.src is None
     # src-blocked layout: sorted by src
-    s2 = np.asarray(bg.by_src.src)
-    assert (np.diff(s2) >= 0).all()
+    bs = _build_one_np(
+        src.astype(np.int64), src.astype(np.int64), dst.astype(np.int64),
+        et.astype(np.int64), bg.num_nodes, td, te,
+    )
+    assert (np.diff(bs["src"]) >= 0).all()
+    np.testing.assert_array_equal(bs["dst"], np.asarray(bg.by_src.dst))
 
 
 def test_pallas_forward_matches_xla():
