@@ -225,10 +225,14 @@ def build_halo_graph(
         mask_s[d, :n] = 1.0
 
     blocked_graph = None
-    if blocked:
+    if blocked and not overlap:
+        # Per-device layouts in halo space: dst local, src = halo-buffer
+        # id. Only the NON-overlapped propagate reads this unsplit layout
+        # — the overlap path (the trainer default) aggregates its
+        # local/remote subsets through blocked_loc/blocked_rem below, so
+        # building the unsplit one there would be dead device arrays.
         from relgat_projector_tpu.data.blocked import build_blocked_shards
 
-        # Per-device layouts in halo space: dst local, src = halo-buffer id.
         blocked_graph = build_blocked_shards(
             [
                 (halo_src_per_shard[d], per_shard[d][1], per_shard[d][2])
