@@ -69,10 +69,12 @@ class HaloGraph:
     """
 
     send_idx: jax.Array    # [G, G, Hp] int32
-    src_halo: jax.Array    # [G, E_sh] int32 (halo-space source ids)
-    dst_local: jax.Array   # [G, E_sh] int32 (dst - g*rows, non-decreasing)
-    etype: jax.Array       # [G, E_sh] int32
-    mask: jax.Array        # [G, E_sh] float32 (1 = real edge)
+    # Unsplit per-shard edge arrays — None in overlap mode (the overlapped
+    # propagate reads only the local/remote splits below).
+    src_halo: Optional[jax.Array]   # [G, E_sh] int32 (halo-space src ids)
+    dst_local: Optional[jax.Array]  # [G, E_sh] int32 (dst - g*rows, sorted)
+    etype: Optional[jax.Array]      # [G, E_sh] int32
+    mask: Optional[jax.Array]       # [G, E_sh] float32 (1 = real edge)
     # Optional per-device block-padded layouts for the fused Pallas kernels
     # (by_dst over the local dst range, by_src over the HALO space).
     blocked: object = None
@@ -312,13 +314,16 @@ def build_halo_graph(
                 block_nodes=block_nodes, chunk_edges=chunk_edges,
             )
 
+    # Overlap mode aggregates exclusively through the local/remote split
+    # arrays — the unsplit per-shard edge arrays would be dead device
+    # uploads there (same reasoning as the skipped unsplit blocked layout).
     return HaloGraph(
         **extra,
         send_idx=jnp.asarray(send_idx),
-        src_halo=jnp.asarray(src_h),
-        dst_local=jnp.asarray(dst_l),
-        etype=jnp.asarray(et_s),
-        mask=jnp.asarray(mask_s),
+        src_halo=None if overlap else jnp.asarray(src_h),
+        dst_local=None if overlap else jnp.asarray(dst_l),
+        etype=None if overlap else jnp.asarray(et_s),
+        mask=None if overlap else jnp.asarray(mask_s),
         blocked=blocked_graph,
         num_shards=g,
         rows_per_shard=rows,
