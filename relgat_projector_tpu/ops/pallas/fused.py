@@ -370,8 +370,6 @@ def _bwd_src_kernel(
     onehot_r = (et[:, None] == rel_ids).astype(jnp.float32)   # [TE, R]
     rows = jax.lax.broadcasted_iota(jnp.int32, (td, te), 0)
     onehot_s = (rows == ls[None, :]).astype(jnp.float32)      # [TD, TE]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (te, td), 1)
-    onehot_st = (cols == ls[:, None]).astype(jnp.float32)     # [TE, TD]
 
     @pl.when(c == 0)
     def _():
@@ -388,11 +386,11 @@ def _bwd_src_kernel(
     # backward's bottleneck): (ps * x) @ blockdiag[HF, H].
     hf0 = heads * f
     # In-kernel per-edge source gather: one-hot row-select from the
-    # chunk's source block (per-edge scalar gathers through the MXU is
-    # the project's established pattern; masked slots pick garbage rows
-    # that alpha/de zero downstream).
+    # chunk's source block (per-edge gathers through the MXU is the
+    # project's established pattern; masked slots pick garbage rows whose
+    # logits are clamped to _NEG below, so alpha/de are exactly zero).
     ps_all = jnp.dot(
-        onehot_st, h_ref[:].astype(jnp.float32),
+        onehot_s.T, h_ref[:].astype(jnp.float32),
         preferred_element_type=jnp.float32, precision=hi,
     )                                                     # [TE, H*F]
     g_all = ge_ref[:, :hf0].astype(jnp.float32)           # [TE, H*F]
@@ -421,6 +419,10 @@ def _bwd_src_kernel(
     s_all = ge_ref[:, hf0 + 2 * heads:hf0 + 3 * heads].astype(jnp.float32)
     m_safe = jnp.where(m_all <= _NEG * 0.5, 0.0, m_all)
     e_act = jnp.where(eraw_all >= 0, eraw_all, negative_slope * eraw_all)
+    # Clamp masked slots BEFORE the exp (mirroring the forward): their
+    # recomputed logits pair garbage rows with garbage stats, and
+    # exp(overflow) * maskf would be inf * 0 = NaN, not 0.
+    e_act = jnp.where(maskf[:, None] > 0, e_act, _NEG)
     alpha_all = jnp.exp(e_act - m_safe) / l_all * maskf[:, None]  # [TE, H]
 
     # Replay the forward's attention-dropout mask (hash of the seed +
