@@ -124,8 +124,10 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--compute-dtype", dest="compute_dtype", type=str,
                    choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--kernel-precision", dest="kernel_precision", type=str,
-                   choices=["highest", "high", "default"], default="highest",
-                   help="MXU precision inside the Pallas kernels")
+                   choices=["highest", "default"], default="highest",
+                   help="MXU precision inside the Pallas kernels: 'highest' "
+                        "= fp32-accurate (3-pass), 'default' = 1-pass bf16. "
+                        "Mosaic has no intermediate tier.")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each GAT layer (memory for compute)")
     p.add_argument("--scan-segments", dest="scan_segments", type=int,

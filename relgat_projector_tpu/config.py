@@ -86,7 +86,9 @@ class ModelConfig:
     remat: bool = False            # jax.checkpoint each GAT layer (trade
     # recompute for the all-N activation memory of full-graph backward)
     kernel_precision: str = "highest"  # Pallas MXU passes: "highest"
-    # (fp32-exact, reference parity) | "high" (bf16x3) | "default" (bf16)
+    # (fp32-exact, reference parity) | "default" (1-pass bf16). Mosaic has
+    # no intermediate tier; a legacy "high" value is accepted as an alias
+    # of "highest" for old serialized configs.
     scan_segments: int = 0         # >1: lax.scan the fused kernels over
     # that many edge segments on ONE device — bounds per-edge gather memory
     # for huge graphs (the single-shot backward needs ~3*E*H*F*4 bytes)

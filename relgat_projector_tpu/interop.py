@@ -1,4 +1,5 @@
-"""Reference-checkpoint interop: import a torch ``state_dict`` checkpoint.
+"""Reference-checkpoint interop: import AND export torch ``state_dict``
+checkpoints.
 
 The reference ecosystem's trained artifact is a torch ``state_dict`` saved
 as ``relgat-model.pt`` next to ``training-config.json`` /
@@ -6,7 +7,9 @@ as ``relgat-model.pt`` next to ``training-config.json`` /
 storage.py:45-56``, loaded at ``core/model/model.py:252-271``). This module
 maps that state_dict onto this framework's pytree so already-trained
 reference models can be served/exported/queried here without retraining —
-the drop-in-replacement path.
+and the inverse (``export_torch_state_dict`` / ``export_torch_checkpoint_
+dir``) writes a model trained HERE back into the reference's on-disk
+format, making the replacement a round trip rather than a one-way door.
 
 Key map (reference module attribute -> pytree):
 
@@ -213,6 +216,178 @@ def import_torch_checkpoint_dir(
             add_files.append(("relations-map.json", json.load(f)))
     save_pretrained(out_dir, params, cfg, add_files=add_files)
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Export: our pytree -> reference torch state_dict
+# ---------------------------------------------------------------------------
+
+
+def export_torch_state_dict(
+    params: dict,
+    cfg: ModelConfig,
+    *,
+    node_emb: Optional[np.ndarray] = None,
+) -> "Dict[str, object]":
+    """Inverse of :func:`import_torch_state_dict`: map our pytree to the
+    reference module's exact ``state_dict`` key layout (parameters created
+    at ``core/model/layer.py:107-121``, ``core/model/projection.py:48-67``,
+    ``core/scorer.py:55,150``; the trainer artifact is this dict saved by
+    ``handlers/storage.py:45-56``).
+
+    ``node_emb`` ([N, in_dim]) fills the reference model's
+    ``node_emb_fixed`` buffer (``core/model/model.py:32``) so
+    ``load_state_dict(strict=True)`` succeeds against a model constructed
+    with the same graph. Without it the key is omitted and the torch side
+    must load with ``strict=False``.
+    """
+    import jax
+    import torch
+
+    host = jax.device_get(params)
+
+    def t(a: np.ndarray) -> "torch.Tensor":
+        return torch.tensor(
+            np.ascontiguousarray(np.asarray(a, dtype=np.float32))
+        )
+
+    sd: Dict[str, object] = {}
+    if node_emb is not None:
+        sd["node_emb_fixed"] = t(node_emb)
+
+    layers = host["layers"]
+    multi = len(layers) > 1
+    for li, layer in enumerate(layers):
+        pre = f"gat_layers.{li}." if multi else "gat_layer."
+        proj = np.asarray(layer["proj"])  # ours [H, in, out]
+        attn = np.asarray(layer["attn"])  # [H, R, out]
+        for h in range(proj.shape[0]):
+            # torch Linear weight is [out, in]; ours is [in, out].
+            sd[f"{pre}proj.{h}.weight"] = t(proj[h].T)
+            sd[f"{pre}attn_vec.{h}"] = t(attn[h])
+        if "rel_bias" in layer:
+            sd[f"{pre}rel_bias"] = t(np.asarray(layer["rel_bias"]))
+
+    proj_head = host.get("projection")
+    if proj_head is not None and len(proj_head.get("linears", [])) > 0:
+        linears = [np.asarray(w) for w in proj_head["linears"]]
+        if len(linears) == 1:
+            # num_layers in {0 (dim change), 1}: bare Linear named ``net``.
+            sd["projection.net.weight"] = t(linears[0].T)
+        else:
+            # Sequential blocks Linear(3j) -> GELU(3j+1) -> LayerNorm(3j+2)
+            # with a final bare Linear (projection.py:55-67).
+            ln_scale = [np.asarray(w) for w in proj_head["ln_scale"]]
+            ln_bias = [np.asarray(w) for w in proj_head["ln_bias"]]
+            for j, w in enumerate(linears):
+                sd[f"projection.net.{3 * j}.weight"] = t(w.T)
+                if j < len(linears) - 1:
+                    sd[f"projection.net.{3 * j + 2}.weight"] = t(ln_scale[j])
+                    sd[f"projection.net.{3 * j + 2}.bias"] = t(ln_bias[j])
+
+    sd["scorer.rel_emb.weight"] = t(np.asarray(host["scorer"]["rel_emb"]))
+    return sd
+
+
+def export_torch_checkpoint_dir(
+    ckpt_dir: str,
+    out_dir: str,
+    *,
+    node_emb: Optional[np.ndarray] = None,
+) -> None:
+    """Convert one of THIS framework's checkpoint directories (HF-style
+    ``config.json`` + msgpack weights) into a reference-ecosystem checkpoint
+    directory:
+
+    - ``relgat-model.pt``      — the trainer artifact name
+      (``base/constants.py:28``, written by ``handlers/storage.py:45-56``),
+    - ``pytorch_model.bin`` + ``config.json`` — the
+      ``RelGATModel.load_from_pretrained`` surface
+      (``core/model/model.py:217-271``; config keys read at :234-267),
+    - ``training-config.json`` / ``relations-map.json`` sidecars copied
+      through when present.
+    """
+    import torch
+
+    from relgat_projector_tpu.models.model import load_from_pretrained
+
+    if node_emb is None:
+        # Config-only load: fabricate a [0, in_dim] placeholder to satisfy
+        # the dim check; the exported dict then omits node_emb_fixed.
+        with open(
+            os.path.join(ckpt_dir, "config.json"), encoding="utf-8"
+        ) as f:
+            in_dim = int(json.load(f)["in_dim"])
+        params, cfg = load_from_pretrained(
+            ckpt_dir, node_emb=np.zeros((0, in_dim), np.float32)
+        )
+    else:
+        params, cfg = load_from_pretrained(ckpt_dir, node_emb=node_emb)
+
+    sd = export_torch_state_dict(params, cfg, node_emb=node_emb)
+    os.makedirs(out_dir, exist_ok=True)
+    torch.save(sd, os.path.join(out_dir, "relgat-model.pt"))
+    torch.save(sd, os.path.join(out_dir, "pytorch_model.bin"))
+
+    # config.json with exactly the keys RelGATModel.load_from_pretrained
+    # reads (core/model/model.py:246-267). The reference's own
+    # save_pretrained crashes on its unset ``_config`` (model.py:194), so
+    # this exporter is what actually produces that surface.
+    ref_cfg = {
+        "input_dim": int(cfg.in_dim),
+        "num_rel": int(cfg.num_rel),
+        "scorer_type": cfg.scorer_type,
+        "gat_out_dim": int(cfg.gat_out_dim),
+        "gat_heads": int(cfg.gat_heads),
+        "dropout": float(cfg.dropout),
+        "relation_attn_dropout": float(cfg.rel_attn_dropout),
+        "gat_num_layers": int(cfg.gat_num_layers),
+        "project_to_input_size": bool(cfg.project_to_input_size),
+        "projection_layers": int(cfg.projection_layers),
+        "projection_dropout": float(cfg.projection_dropout),
+        "projection_hidden_dim": int(cfg.projection_hidden_dim),
+    }
+    with open(
+        os.path.join(out_dir, "config.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump(ref_cfg, f, ensure_ascii=False, indent=2)
+
+    for sidecar in ("training-config.json", "relations-map.json"):
+        src = os.path.join(ckpt_dir, sidecar)
+        if os.path.isfile(src):
+            with open(src, encoding="utf-8") as fi, open(
+                os.path.join(out_dir, sidecar), "w", encoding="utf-8"
+            ) as fo:
+                fo.write(fi.read())
+
+
+def main_export(argv=None) -> None:
+    import argparse
+    import pickle
+
+    ap = argparse.ArgumentParser(
+        description="Export one of this framework's checkpoints back into "
+        "the reference ecosystem's torch format (relgat-model.pt / "
+        "pytorch_model.bin + config.json)."
+    )
+    ap.add_argument("--checkpoint", required=True,
+                    help="our checkpoint dir (config.json + msgpack)")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--nodes-embeddings-path", default=None,
+                    help="optional node2emb pickle; fills the reference's "
+                    "node_emb_fixed buffer for strict=True loads")
+    args = ap.parse_args(argv)
+    node_emb = None
+    if args.nodes_embeddings_path:
+        with open(args.nodes_embeddings_path, "rb") as f:
+            node2emb = pickle.load(f)
+        n = max(int(k) for k in node2emb) + 1
+        dim = len(next(iter(node2emb.values())))
+        node_emb = np.zeros((n, dim), np.float32)
+        for k, v in node2emb.items():
+            node_emb[int(k)] = np.asarray(v, np.float32)
+    export_torch_checkpoint_dir(args.checkpoint, args.out, node_emb=node_emb)
+    print(f"Exported {args.checkpoint} -> {args.out} (torch format)")
 
 
 def main(argv=None) -> None:

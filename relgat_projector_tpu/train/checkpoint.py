@@ -82,6 +82,11 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
 class RelGATStorage:
     """Checkpoint directory manager (reference ``handlers/storage.py``)."""
 
+    # Trainer-loop sidecar (best metric / early-stop counter / dispatch
+    # counter) written next to every train state so resume restores the
+    # loop, not just the optimizer.
+    LOOP_STATE_FILE = "loop-state.json"
+
     def __init__(
         self,
         out_dir: Optional[str],
@@ -149,6 +154,14 @@ class RelGATStorage:
 
     def load_checkpoint(self, ckpt_dir: str, template: TrainState) -> TrainState:
         return load_train_state(os.path.join(ckpt_dir, _STATE_FILE), template)
+
+    def load_loop_state(self, ckpt_dir: str) -> Optional[Dict[str, Any]]:
+        """Read the trainer-loop sidecar, or None for pre-sidecar dirs."""
+        path = os.path.join(ckpt_dir, self.LOOP_STATE_FILE)
+        if not os.path.isfile(path):
+            return None
+        with open(path, "r", encoding="utf-8") as f:
+            return json.load(f)
 
     def prune_checkpoints(self) -> None:
         """Keep the ``max_checkpoints`` most recent prunable checkpoints."""

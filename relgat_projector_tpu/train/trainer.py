@@ -282,6 +282,18 @@ class RelGATTrainer:
         self.state = self.storage.load_checkpoint(target, self.state)
         self.global_step = int(self.state.step)
         self.dispatch_step = self.global_step
+        # Restore the LOOP state too (best metric, early-stop counter,
+        # best-checkpoint pointer, exact dispatch counter) — without it a
+        # resumed run forgets its early-stop history and re-saves a "best"
+        # checkpoint on its first eval regardless of quality.
+        loop = self.storage.load_loop_state(target)
+        if loop is not None:
+            if loop.get("best_metric_value") is not None:
+                self.best_metric_value = float(loop["best_metric_value"])
+            self._no_improve_steps = int(loop.get("no_improve_steps", 0))
+            self.best_ckpt_dir = loop.get("best_ckpt_dir")
+            if loop.get("dispatch_step") is not None:
+                self.dispatch_step = int(loop["dispatch_step"])
         print(f"Resumed from {target} at step {self.global_step}")
         return True
 
@@ -646,12 +658,22 @@ class RelGATTrainer:
 
         if improved:
             self.best_metric_value = metric_value
+            # Reset the patience counter BEFORE saving so the loop-state
+            # sidecar written with the checkpoint carries the post-eval
+            # truth.
+            self._no_improve_steps = 0
             # Save gating on the DISPATCH counter (deterministic under
             # non-finite skips); checkpoint names carry the finite
-            # global_step (reference naming, ``trainer:728-729``).
+            # global_step (reference naming, ``trainer:728-729``). The gate
+            # is a WINDOW of width steps_per_call — the same window the eval
+            # cadence uses — so scanned dispatch (where dispatch_step moves
+            # in strides of s and may never hit an exact multiple) still
+            # checkpoints every improved eval. With steps_per_call=1 this
+            # reduces to exact divisibility.
             if (
                 self.storage.save_every_n_steps is not None
-                and self.dispatch_step % self.storage.save_every_n_steps == 0
+                and self.dispatch_step % self.storage.save_every_n_steps
+                < self.steps_per_call
             ):
                 self.best_ckpt_dir = f"best_checkpoint_{self.global_step}"
                 self._save_checkpoint(subdir=self.best_ckpt_dir)
@@ -660,7 +682,6 @@ class RelGATTrainer:
                     metrics={"checkpoint/step": self.global_step},
                     step=self.global_step,
                 )
-            self._no_improve_steps = 0
         else:
             self._no_improve_steps += 1
 
@@ -714,6 +735,15 @@ class RelGATTrainer:
                 (
                     Defaults.TRAINING_CONFIG_REL_TO_IDX,
                     self.dataset.rel2idx,
+                ),
+                (
+                    RelGATStorage.LOOP_STATE_FILE,
+                    {
+                        "best_metric_value": self.best_metric_value,
+                        "no_improve_steps": self._no_improve_steps,
+                        "best_ckpt_dir": self.best_ckpt_dir,
+                        "dispatch_step": self.dispatch_step,
+                    },
                 ),
             ],
             prunable=prunable,

@@ -22,6 +22,8 @@ setup(
             "relgat-projector-train=relgat_projector_tpu.cli:main",
             "relgat-projector-export=relgat_projector_tpu.export:main",
             "relgat-projector-import-torch=relgat_projector_tpu.interop:main",
+            "relgat-projector-export-torch="
+            "relgat_projector_tpu.interop:main_export",
         ]
     },
 )
