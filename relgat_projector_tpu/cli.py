@@ -156,6 +156,12 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="disable the halo mode's local/remote edge split "
                         "(which overlaps the boundary all_to_all with "
                         "local aggregation)")
+    p.add_argument("--partition-nodes", dest="partition_nodes",
+                   action="store_true", default=False,
+                   help="relabel nodes with the min-cut partitioner "
+                        "(BFS-grow + label propagation) before the halo "
+                        "build so clustered KGs with shuffled ids get "
+                        "clustered-case boundary traffic")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() before training "
                         "(multi-host; auto-detected on TPU pods)")
@@ -216,6 +222,7 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         scan_segments=args.scan_segments,
         mesh_propagate=args.mesh_propagate,
         halo_overlap=args.halo_overlap,
+        partition_nodes=args.partition_nodes,
     )
     train = TrainConfig(
         epochs=args.epochs,

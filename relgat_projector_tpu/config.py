@@ -100,6 +100,12 @@ class ModelConfig:
     halo_overlap: bool = True      # "halo" mode: split local-/remote-source
     # edges so the boundary all_to_all overlaps with local aggregation
     # (flash-style softmax-state merge; parallel/halo.py)
+    partition_nodes: bool = False  # "halo" mode: min-cut node relabeling
+    # (BFS-grow + label propagation, data/partition.py) before the halo
+    # build, so shuffled-id clustered KGs get clustered-case comm instead
+    # of worst-case. Off by default: it permutes the id-keyed sampling
+    # streams, so runs are not step-for-step identical to unpartitioned
+    # single-device runs (statistically equivalent).
 
     def __post_init__(self) -> None:
         if self.scorer_type.lower() not in ("distmult", "transe"):

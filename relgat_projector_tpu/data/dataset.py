@@ -52,6 +52,7 @@ class RelGATData:
         halo_shards: int = 0,
         halo_overlap: bool = False,
         scan_segments: int = 0,
+        partition_nodes: bool = False,
     ):
         self.rel2idx = dict(rel2idx)
         self.num_rel = len(rel2idx)
@@ -95,6 +96,45 @@ class RelGATData:
             f" - eval: {len(self.eval_edges)} "
             f"({100 - self.train_ratio * 100:.1f} %)"
         )
+
+        # Optional min-cut relabeling for the halo path
+        # (``data/partition.py``): cluster nodes by train-edge structure and
+        # pack clusters into the halo shards' contiguous id ranges, so
+        # boundary traffic reflects the graph's real cut instead of the
+        # accidents of input id order. The permutation is applied
+        # consistently to embeddings and BOTH edge splits; semantics are
+        # relabel-invariant.
+        self.node_perm: Optional[np.ndarray] = None
+        self.partition_stats: Optional[Dict[str, float]] = None
+        if partition_nodes and halo_shards > 1:
+            from relgat_projector_tpu.data.partition import (
+                partition_node_permutation,
+            )
+            from relgat_projector_tpu.parallel.halo import (
+                halo_rows_per_shard,
+            )
+
+            rows = halo_rows_per_shard(
+                self.num_nodes, halo_shards, blocked=blocked
+            )
+            perm, stats = partition_node_permutation(
+                self.train_edges[:, 0],
+                self.train_edges[:, 1],
+                self.num_nodes,
+                halo_shards,
+                rows,
+            )
+            self.node_perm = perm
+            self.partition_stats = stats
+            emb = emb[np.argsort(perm)]  # row new_id holds old node's emb
+            for arr in (self.train_edges, self.eval_edges):
+                arr[:, 0] = perm[arr[:, 0]]
+                arr[:, 1] = perm[arr[:, 1]]
+            print(
+                "Partitioned nodes for halo exchange: edge cut "
+                f"{stats['edge_cut_before']:.3f} -> "
+                f"{stats['edge_cut_after']:.3f} over {halo_shards} shards"
+            )
 
         # Message-passing graph from TRAIN edges only (``:123-137``).
         self.graph: GraphData = build_graph(

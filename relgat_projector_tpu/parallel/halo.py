@@ -129,6 +129,23 @@ class HaloGraph:
         return (g - 1) * self.rows_per_shard * feat_bytes
 
 
+def halo_rows_per_shard(
+    num_real_nodes: int,
+    num_shards: int,
+    *,
+    blocked: bool = False,
+    block_nodes: int = 128,
+) -> int:
+    """Destination rows owned per shard — the single source of truth for the
+    contiguous node-range partition used by :func:`build_halo_graph` (and by
+    ``data/partition.py``, which must pack its clusters into exactly these
+    ranges)."""
+    row_mult = block_nodes if blocked else 8
+    return _round_up(
+        -(-(int(num_real_nodes) + 1) // int(num_shards)), row_mult
+    )
+
+
 def build_halo_graph(
     src: np.ndarray,
     dst: np.ndarray,
@@ -151,8 +168,9 @@ def build_halo_graph(
     etype = np.asarray(etype, np.int64)
     g = int(num_shards)
 
-    row_mult = block_nodes if blocked else 8
-    rows = _round_up(-(-(num_real_nodes + 1) // g), row_mult)
+    rows = halo_rows_per_shard(
+        num_real_nodes, g, blocked=blocked, block_nodes=block_nodes
+    )
     shard_of = np.minimum(dst // rows, g - 1)
 
     # --- per-(dest, owner) boundary sets --------------------------------

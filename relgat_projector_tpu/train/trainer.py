@@ -110,6 +110,7 @@ class RelGATTrainer:
             ),
             halo_shards=graph_axis if use_halo else 0,
             halo_overlap=run_config.model.halo_overlap,
+            partition_nodes=run_config.model.partition_nodes,
             # Mesh-less segment stacks: scanned on one device to bound
             # per-edge gather memory (ModelConfig.scan_segments).
             scan_segments=(

@@ -108,13 +108,39 @@ def main():
     print(header)
     print("|" + "---|" * 9)
 
-    for label, (src, dst, et) in (
-        ("clustered 5%", make_clustered(
-            args.nodes, args.edges, max(args.shards), args.cross_frac,
-            args.num_rel)),
-        ("uniform", make_uniform(args.nodes, args.edges, args.num_rel)),
+    # "shuffled+partitioner": the clustered graph with node ids arriving in
+    # random order (indistinguishable from uniform to the contiguous-range
+    # partition), relabeled by data/partition.py — the situation a real KG
+    # export is in, and the case the partitioner exists for.
+    c_src, c_dst, c_et = make_clustered(
+        args.nodes, args.edges, max(args.shards), args.cross_frac,
+        args.num_rel,
+    )
+    shuf = np.random.default_rng(7).permutation(args.nodes)
+
+    def partitioned(g):
+        from relgat_projector_tpu.data.partition import (
+            partition_node_permutation,
+        )
+        from relgat_projector_tpu.parallel.halo import halo_rows_per_shard
+
+        rows = halo_rows_per_shard(args.nodes, g)
+        perm, stats = partition_node_permutation(
+            shuf[c_src], shuf[c_dst], args.nodes, g, rows
+        )
+        return perm[shuf[c_src]], perm[shuf[c_dst]], c_et
+
+    for label, edges_of_g in (
+        ("clustered 5%", lambda g: (c_src, c_dst, c_et)),
+        ("shuffled+partitioner", partitioned),
+        ("shuffled, no partitioner",
+         lambda g: (shuf[c_src], shuf[c_dst], c_et)),
+        ("uniform",
+         lambda g, e=make_uniform(args.nodes, args.edges, args.num_rel):
+         e),
     ):
         for g in args.shards:
+            src, dst, et = edges_of_g(g)
             hg = build_halo_graph(src, dst, et, args.nodes, g)
             comm_bytes = (
                 args.layers * 2 * hg.exchange_bytes_per_device(feat_bytes)
