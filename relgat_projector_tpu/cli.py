@@ -29,9 +29,76 @@ triplet list ([src_id, dst_id, rel_name]); or --synthetic for a generated KG.
 """
 
 
+def _config_file_defaults(run_cfg: RunConfig) -> dict:
+    """Map a serialized RunConfig (the ``training-config.json`` written to
+    every checkpoint) onto parser dests, implementing the SURVEY §5.6
+    precedence CLI > config file > defaults: these become the parser's
+    DEFAULTS, so flags the user actually passes still win."""
+    m, t, me = run_cfg.model, run_cfg.train, run_cfg.mesh
+    return dict(
+        architecture=run_cfg.architecture_name,
+        run_name=run_cfg.run_name,
+        # model
+        gat_out_dim=m.gat_out_dim,
+        heads=m.gat_heads,
+        gat_num_layers=m.gat_num_layers,
+        dropout=m.dropout,
+        dropout_rel_attention=m.rel_attn_dropout,
+        scorer=m.scorer_type,
+        project_to_input_size=m.project_to_input_size,
+        projection_layers=m.projection_layers,
+        projection_dropout=m.projection_dropout,
+        projection_hidden_dim=m.projection_hidden_dim,
+        compute_dtype=m.compute_dtype,
+        use_pallas=m.use_pallas,
+        kernel_precision=m.kernel_precision,
+        remat=m.remat,
+        scan_segments=m.scan_segments,
+        mesh_propagate=m.mesh_propagate,
+        halo_overlap=m.halo_overlap,
+        partition_nodes=m.partition_nodes,
+        # train
+        epochs=t.epochs,
+        batch_size=t.train_batch_size,
+        num_neg=t.num_neg,
+        train_ratio=t.train_ratio,
+        seed=t.seed,
+        lr=t.lr,
+        lr_scheduler=t.lr_scheduler,
+        lr_decay=t.lr_decay,
+        warmup_steps=t.warmup_steps,
+        weight_decay=t.weight_decay,
+        grad_clip_norm=t.grad_clip_norm,
+        optimizer=t.optimizer,
+        margin=t.margin,
+        use_self_adv_neg=t.use_self_adv_neg,
+        self_adv_alpha=t.self_adv_alpha,
+        relgat_weight=t.relgat_weight,
+        pos_cosine_weight=t.pos_cosine_weight,
+        neg_cosine_weight=t.neg_cosine_weight,
+        mse_weight=t.mse_weight,
+        eval_every_n_steps=t.eval_every_n_steps,
+        save_every_n_steps=t.save_every_n_steps,
+        early_stop_patience=t.early_stop_patience,
+        log_every_n_steps=t.log_every_n_steps,
+        max_checkpoints=t.max_checkpoints,
+        save_dir=t.out_dir,
+        steps_per_call=t.steps_per_call,
+        # mesh
+        mesh_data=me.data_axis,
+        mesh_graph=me.graph_axis,
+        mesh_model=me.model_axis,
+    )
+
+
 def get_args(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=APP_DESCRIPTION)
 
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON run config to use as the base layer "
+                        "(the training-config.json serialized into every "
+                        "checkpoint feeds back in directly); explicit "
+                        "flags override it, it overrides library defaults")
     p.add_argument("--architecture-name", dest="architecture", type=str,
                    default=None,
                    help="Preset name [small, medium, large] (optional)")
@@ -133,7 +200,9 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--scan-segments", dest="scan_segments", type=int,
                    default=0,
                    help=">1: scan the fused kernels over that many edge "
-                        "segments (bounds per-edge memory for huge graphs)")
+                        "segments per device (bounds per-edge memory for "
+                        "huge graphs; composes with --mesh-graph via the "
+                        "halo path, disabling its comm overlap)")
     p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
                    default=1,
                    help="train steps per jitted dispatch (lax.scan); >1 "
@@ -170,6 +239,17 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--num-processes", dest="num_processes", type=int,
                    default=None)
     p.add_argument("--process-id", dest="process_id", type=int, default=None)
+
+    # Two-pass parse for the config-file layer: find --config first, lift
+    # its values into the parser defaults, then parse for real so explicit
+    # flags override the file.
+    pre, _ = p.parse_known_args(argv)
+    if pre.config:
+        import json
+
+        with open(pre.config, encoding="utf-8") as f:
+            run_cfg = RunConfig.from_dict(json.load(f))
+        p.set_defaults(**_config_file_defaults(run_cfg))
 
     return p.parse_args(argv)
 

@@ -90,8 +90,10 @@ class ModelConfig:
     # no intermediate tier; a legacy "high" value is accepted as an alias
     # of "highest" for old serialized configs.
     scan_segments: int = 0         # >1: lax.scan the fused kernels over
-    # that many edge segments on ONE device — bounds per-edge gather memory
-    # for huge graphs (the single-shot backward needs ~3*E*H*F*4 bytes)
+    # that many edge segments per device — bounds per-edge gather memory
+    # for huge graphs (the single-shot backward needs ~3*E*H*F*4 bytes).
+    # Composes with the halo mesh (per-shard segment stacks scanned inside
+    # shard_map; disables halo_overlap); single-device and multi-chip both.
     mesh_propagate: str = "halo"   # graph-axis strategy when graph_axis > 1:
     # "halo" (node-sharded features + boundary-only all_to_all,
     # parallel/halo.py) | "replicated" (replicated features, per-device

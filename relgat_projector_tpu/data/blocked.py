@@ -422,6 +422,94 @@ class ScannedBlockedGraph:
     num_nodes: int = dataclasses.field(default=0, metadata={"static": True})
 
 
+def _scanned_family_np(
+    src: np.ndarray,
+    dst: np.ndarray,
+    etype: np.ndarray,
+    eid: Optional[np.ndarray],
+    rows: int,
+    num_segments: int,
+    by: str,
+    block_nodes: int,
+    chunk_edges: int,
+) -> List[Dict[str, np.ndarray]]:
+    """Per-segment host layout dicts for one scanned family.
+
+    ``by="dst"``: dst-partitioned (forward) segments — dst local per
+    segment, src ids kept verbatim (the forward's h gather space).
+    ``by="src"``: src-partitioned (backward) segments — blocks over the
+    LOCAL src space, stored src ids verbatim for the h gather, dst ids
+    verbatim for the packed-stream gather.
+
+    Canonical edge ids for the dropout hash must be partition-independent
+    (the two families walk different edge orders): positions in the
+    caller's edge list, or ``eid``'s values when given (the halo path's
+    per-shard canonical ids)."""
+    key_arr = dst if by == "dst" else src
+    shard_of = np.minimum(key_arr // rows, num_segments - 1)
+    dicts = []
+    for g in range(num_segments):
+        sel = shard_of == g
+        sel_idx = np.nonzero(sel)[0]
+        if by == "dst":
+            d_loc = dst[sel] - g * rows
+            d = _build_one_np(
+                d_loc, src[sel], d_loc, etype[sel], rows,
+                block_nodes, chunk_edges,
+            )
+        else:
+            s_loc = src[sel] - g * rows
+            d = _build_one_np(
+                s_loc, src[sel], dst[sel], etype[sel], rows,
+                block_nodes, chunk_edges,
+            )
+        if sel_idx.shape[0]:
+            canon = sel_idx if eid is None else eid[sel_idx]
+            d["edge_of_slot"] = canon[d["edge_of_slot"]].astype(np.int32)
+        dicts.append(d)
+    return dicts
+
+
+def _stack_segment_dicts(
+    dicts: List[Dict[str, np.ndarray]],
+    rows: int,
+    block_nodes: int,
+    chunk_edges: int,
+    keep: str,
+    lead_shape: Tuple[int, ...],
+) -> BlockedEdges:
+    """Pad per-segment dicts to a common chunk count, stack with leading
+    shape ``lead_shape`` (e.g. ``(S,)`` or ``(G, S)``), build chunk_meta on
+    device."""
+    cmax = max(d["chunk_block"].shape[0] for d in dicts)
+    emax = max(1, max(d["slot_of_edge"].shape[0] for d in dicts))
+    dicts = [_pad_np(d, cmax, chunk_edges, emax) for d in dicts]
+    st = {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
+    n_stk, slots = st["etype"].shape
+    c = slots // chunk_edges
+    meta = _chunk_meta_device(
+        jnp.asarray(st["etype"]).reshape(n_stk * slots),
+        jnp.asarray(st["local_seg"]).reshape(n_stk * slots),
+        jnp.asarray(st["mask"]).reshape(n_stk * slots),
+        jnp.asarray(st["edge_of_slot"]).reshape(n_stk * slots),
+        chunk_edges,
+    ).reshape(*lead_shape, c, 8, chunk_edges)
+
+    def shaped(a):
+        return jnp.asarray(a).reshape(*lead_shape, *a.shape[1:])
+
+    return BlockedEdges(
+        src=shaped(st["src"]) if keep == "src" else None,
+        dst=shaped(st["dst"]) if keep == "dst" else None,
+        chunk_block=shaped(st["chunk_block"]),
+        block_nonempty=shaped(st["block_nonempty"]),
+        chunk_meta=meta,
+        block_nodes=int(block_nodes),
+        chunk_edges=int(chunk_edges),
+        num_blocks=rows // block_nodes,
+    )
+
+
 def build_scanned_graph(
     src: np.ndarray,
     dst: np.ndarray,
@@ -441,72 +529,82 @@ def build_scanned_graph(
 
     rows = -(-(-(-num_nodes // s)) // block_nodes) * block_nodes
 
-    def stack_family(key_arr, other_is_dst):
-        shard_of = np.minimum(key_arr // rows, s - 1)
-        dicts = []
-        for g in range(s):
-            sel = shard_of == g
-            sel_idx = np.nonzero(sel)[0]
-            if other_is_dst:
-                # dst-partitioned (forward): dst local, src global.
-                d_loc = dst[sel] - g * rows
-                d = _build_one_np(
-                    d_loc, src[sel], d_loc, etype[sel], rows,
-                    block_nodes, chunk_edges,
-                )
-            else:
-                # src-partitioned (backward): blocks over the LOCAL src
-                # space; stored src ids stay GLOBAL for the h gather, dst
-                # ids stay GLOBAL for the packed-stream gather.
-                s_loc = src[sel] - g * rows
-                d = _build_one_np(
-                    s_loc, src[sel], dst[sel], etype[sel], rows,
-                    block_nodes, chunk_edges,
-                )
-            # GLOBAL canonical edge ids: the forward (dst-partitioned) and
-            # backward (src-partitioned) walk DIFFERENT edge orders, so the
-            # dropout-mask hash key must be partition-independent.
-            if sel_idx.shape[0]:
-                d["edge_of_slot"] = sel_idx[d["edge_of_slot"]].astype(
-                    np.int32
-                )
-            dicts.append(d)
-        cmax = max(d["chunk_block"].shape[0] for d in dicts)
-        emax = max(1, max(d["slot_of_edge"].shape[0] for d in dicts))
-        dicts = [_pad_np(d, cmax, chunk_edges, emax) for d in dicts]
-        st = {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
-        et_d = jnp.asarray(st["etype"])
-        mask_d = jnp.asarray(st["mask"])
-        local_d = jnp.asarray(st["local_seg"])
-        eos_d = jnp.asarray(st["edge_of_slot"])
-        g_n, slots = st["etype"].shape
-        c = slots // chunk_edges
-        meta = _chunk_meta_device(
-            et_d.reshape(g_n * slots),
-            local_d.reshape(g_n * slots),
-            mask_d.reshape(g_n * slots),
-            eos_d.reshape(g_n * slots),
-            chunk_edges,
-        ).reshape(g_n, c, 8, chunk_edges)
-        keep = "dst" if other_is_dst is False else "src"
-        return BlockedEdges(
-            src=jnp.asarray(st["src"]) if keep == "src" else None,
-            dst=jnp.asarray(st["dst"]) if keep == "dst" else None,
-            chunk_block=jnp.asarray(st["chunk_block"]),
-            block_nonempty=jnp.asarray(st["block_nonempty"]),
-            chunk_meta=meta,
-            block_nodes=int(block_nodes),
-            chunk_edges=int(chunk_edges),
-            num_blocks=rows // block_nodes,
-        )
-
+    by_dst = _stack_segment_dicts(
+        _scanned_family_np(
+            src, dst, etype, None, rows, s, "dst", block_nodes, chunk_edges
+        ),
+        rows, block_nodes, chunk_edges, "src", (s,),
+    )
+    by_src = _stack_segment_dicts(
+        _scanned_family_np(
+            src, dst, etype, None, rows, s, "src", block_nodes, chunk_edges
+        ),
+        rows, block_nodes, chunk_edges, "dst", (s,),
+    )
     return ScannedBlockedGraph(
-        by_dst=stack_family(dst, True),
-        by_src=stack_family(src, False),
+        by_dst=by_dst,
+        by_src=by_src,
         num_shards=s,
         rows_dst=rows,
         rows_src=rows,
         num_nodes=int(num_nodes),
+    )
+
+
+def build_scanned_shards(
+    per_shard_edges: Sequence[Tuple[np.ndarray, ...]],
+    dst_space: int,
+    src_space: int,
+    num_segments: int,
+    *,
+    block_nodes: int = 128,
+    chunk_edges: int = 256,
+) -> ScannedBlockedGraph:
+    """Scanned segment stacks for EVERY graph shard, stacked ``[G, S, ...]``
+    — the composition of ``build_blocked_shards`` (per-device layouts
+    consumed inside ``shard_map``) with ``build_scanned_graph`` (per-device
+    ``lax.scan`` over segments). Each device slices its ``[S, ...]``
+    leaves and runs the memory-bounded scanned propagate on its shard, so
+    halo-sharded graphs whose PER-SHARD edge count still exceeds the
+    single-shot backward's memory envelope (~3·E·H·F·4 bytes of gather
+    streams) can train (SURVEY §7.3 item 3 at multi-chip scale).
+
+    ``per_shard_edges``: per shard ``(src, dst, etype[, canonical_eid])``
+    with dst in the LOCAL output space ``[0, dst_space)`` and src in the
+    shared gather space ``[0, src_space)`` (halo-buffer ids for the halo
+    path). Canonical ids default to position in the shard's edge list —
+    the same ids the unsplit halo layout hashes, so dropout masks replay
+    identically whether or not a shard scans."""
+    s = int(num_segments)
+    rows_d = -(-(-(-int(dst_space) // s)) // block_nodes) * block_nodes
+    rows_s = -(-(-(-int(src_space) // s)) // block_nodes) * block_nodes
+
+    dst_dicts: List[Dict[str, np.ndarray]] = []
+    src_dicts: List[Dict[str, np.ndarray]] = []
+    for tup in per_shard_edges:
+        src_a, dst_a, et_a = (np.asarray(x, np.int64) for x in tup[:3])
+        eid = np.asarray(tup[3], np.int64) if len(tup) > 3 else None
+        dst_dicts += _scanned_family_np(
+            src_a, dst_a, et_a, eid, rows_d, s, "dst", block_nodes,
+            chunk_edges,
+        )
+        src_dicts += _scanned_family_np(
+            src_a, dst_a, et_a, eid, rows_s, s, "src", block_nodes,
+            chunk_edges,
+        )
+
+    g = len(per_shard_edges)
+    return ScannedBlockedGraph(
+        by_dst=_stack_segment_dicts(
+            dst_dicts, rows_d, block_nodes, chunk_edges, "src", (g, s)
+        ),
+        by_src=_stack_segment_dicts(
+            src_dicts, rows_s, block_nodes, chunk_edges, "dst", (g, s)
+        ),
+        num_shards=s,
+        rows_dst=rows_d,
+        rows_src=rows_s,
+        num_nodes=int(dst_space),
     )
 
 

@@ -102,7 +102,11 @@ def build_graph(
             blocked=blocked,
             block_nodes=block_nodes,
             chunk_edges=chunk_edges,
+            # Per-shard segment scanning composes with the halo layout but
+            # not with the overlap split (no partial-merge form of the
+            # scanned VJP) — callers pass halo_overlap=False when scanning.
             overlap=halo_overlap,
+            scan_segments=scan_segments if blocked else 0,
         )
 
     # Always reserve at least one padded node row to absorb padded edges.

@@ -22,8 +22,19 @@ def generate_synthetic_kg(
     emb_dim: int = 200,
     seed: int = 0,
     structured: bool = True,
+    self_loops: bool = False,
 ) -> Tuple[Dict[int, np.ndarray], Dict[str, int], List[Tuple[int, int, str]]]:
-    """Returns ``(node2emb, rel2idx, triplets)`` in ingestion format."""
+    """Returns ``(node2emb, rel2idx, triplets)`` in ingestion format.
+
+    ``self_loops=True`` appends one ``(i, i, "rel_self")`` triplet per node
+    (an extra relation). The RelGAT family aggregates ONLY in-neighbors —
+    a node's own embedding never reaches its output (reference
+    ``core/model/layer.py:304-309``), which makes the structured task's
+    own-embedding signal invisible on held-out edges and pins eval MRR
+    near random regardless of implementation (PARITY.md round-2 caveat).
+    Self-loops reintroduce each node's features through an ordinary edge —
+    a DATASET property, identical for both implementations — turning the
+    structured KG into a task this model family demonstrably learns."""
     rng = np.random.default_rng(seed)
     emb = rng.standard_normal((num_nodes, emb_dim)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
@@ -60,4 +71,7 @@ def generate_synthetic_kg(
     triplets = [
         (int(s), int(d), rel_names[int(r)]) for s, d, r in zip(src, dst, rel)
     ]
+    if self_loops:
+        rel2idx["rel_self"] = num_rel
+        triplets += [(i, i, "rel_self") for i in range(num_nodes)]
     return node2emb, rel2idx, triplets

@@ -158,11 +158,28 @@ def build_halo_graph(
     chunk_edges: int = 256,
     edge_pad_multiple: int = 8,
     overlap: bool = False,
+    scan_segments: int = 0,
 ) -> HaloGraph:
     """Host-side halo plan. Only REAL edges go in; per-shard layouts make
     their own masked padding. Node space is padded to
     ``num_shards * rows_per_shard`` (callers pad embeddings to
-    ``HaloGraph.num_nodes``)."""
+    ``HaloGraph.num_nodes``).
+
+    ``scan_segments > 1`` (Pallas only) builds per-shard SCANNED segment
+    stacks instead of single-shot blocked layouts: each device lax.scans
+    the fused kernels over its shard's dst/src segments, bounding per-edge
+    gather memory to E_shard/S — what makes >8M-edge-per-shard graphs
+    trainable at multi-chip scale. Mutually exclusive with ``overlap``
+    (the scanned VJP yields final rows, not mergeable softmax partials;
+    at the scales that need scanning, per-shard compute dwarfs the
+    boundary all_to_all, so serializing the exchange costs ~nothing —
+    docs/SCALING.md comm/compute columns)."""
+    if scan_segments > 1 and overlap:
+        raise ValueError(
+            "scan_segments > 1 requires overlap=False (the scanned "
+            "propagate has no partial-merge form; callers disable overlap "
+            "when scanning)"
+        )
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     etype = np.asarray(etype, np.int64)
@@ -251,18 +268,35 @@ def build_halo_graph(
         # — the overlap path (the trainer default) aggregates its
         # local/remote subsets through blocked_loc/blocked_rem below, so
         # building the unsplit one there would be dead device arrays.
-        from relgat_projector_tpu.data.blocked import build_blocked_shards
+        shard_lists = [
+            (halo_src_per_shard[d], per_shard[d][1], per_shard[d][2])
+            for d in range(g)
+        ]
+        if scan_segments > 1:
+            from relgat_projector_tpu.data.blocked import (
+                build_scanned_shards,
+            )
 
-        blocked_graph = build_blocked_shards(
-            [
-                (halo_src_per_shard[d], per_shard[d][1], per_shard[d][2])
-                for d in range(g)
-            ],
-            rows,
-            rows + g * hp,
-            block_nodes=block_nodes,
-            chunk_edges=chunk_edges,
-        )
+            blocked_graph = build_scanned_shards(
+                shard_lists,
+                rows,
+                rows + g * hp,
+                scan_segments,
+                block_nodes=block_nodes,
+                chunk_edges=chunk_edges,
+            )
+        else:
+            from relgat_projector_tpu.data.blocked import (
+                build_blocked_shards,
+            )
+
+            blocked_graph = build_blocked_shards(
+                shard_lists,
+                rows,
+                rows + g * hp,
+                block_nodes=block_nodes,
+                chunk_edges=chunk_edges,
+            )
 
     # --- comm/compute-overlap split -------------------------------------
     # Local-source vs remote-source subsets per shard, padded to common
@@ -402,6 +436,9 @@ def halo_propagate(
     use_dropout = attn_dropout_rate > 0.0 and dropout_rng is not None
     rng_arg = dropout_rng if use_dropout else jax.random.PRNGKey(0)
     run_pallas = use_pallas and hg.blocked is not None
+    from relgat_projector_tpu.data.blocked import ScannedBlockedGraph
+
+    run_scanned = run_pallas and isinstance(hg.blocked, ScannedBlockedGraph)
 
     if hg.overlap:
         return _halo_propagate_overlapped(
@@ -440,17 +477,31 @@ def halo_propagate(
                 jax.lax.axis_index(MODEL_AXIS),
             )
         if run_pallas:
+            local = jax.tree_util.tree_map(lambda x: x[0], blocked)
+            kw = dict(
+                negative_slope=negative_slope, eps=eps,
+                attn_dropout_rate=(
+                    attn_dropout_rate if use_dropout else 0.0
+                ),
+                dropout_rng=local_rng,
+                kernel_precision=kernel_precision,
+            )
+            if run_scanned:
+                # Segment-scanned per-shard propagate: only E_shard/S of
+                # gather streams live at once (ops/pallas/kernels.py).
+                from relgat_projector_tpu.ops.pallas.kernels import (
+                    relgat_propagate_pallas_scanned,
+                )
+
+                return relgat_propagate_pallas_scanned(
+                    h_halo, attn, bias if use_bias else None, local, **kw
+                )
             from relgat_projector_tpu.ops.pallas.kernels import (
                 relgat_propagate_pallas,
             )
 
-            local = jax.tree_util.tree_map(lambda x: x[0], blocked)
             return relgat_propagate_pallas(
-                h_halo, attn, bias if use_bias else None, local,
-                negative_slope=negative_slope, eps=eps,
-                attn_dropout_rate=attn_dropout_rate if use_dropout else 0.0,
-                dropout_rng=local_rng,
-                kernel_precision=kernel_precision,
+                h_halo, attn, bias if use_bias else None, local, **kw
             )
         from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
 

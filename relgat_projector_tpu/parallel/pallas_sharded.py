@@ -87,13 +87,19 @@ def shard_blocked_graph(
     dst = np.asarray(dst, np.int64)
     etype = np.asarray(etype, np.int64)
 
-    # Whole dst blocks per shard; global src (gather) space.
+    # Whole dst blocks per shard; global src (gather) space. The 4th
+    # element gives each edge its GLOBAL position as the canonical dropout
+    # id, so per-shard in-kernel masks are bitwise the single-device masks
+    # for the same key (the input here is the same dst-sorted edge array
+    # build_blocked_graph consumes on one device).
     rows = round_up(-(-num_nodes // num_shards), block_nodes)
     shard_of = np.minimum(dst // rows, num_shards - 1)
     per_shard = []
     for g in range(num_shards):
         sel = shard_of == g
-        per_shard.append((src[sel], dst[sel] - g * rows, etype[sel]))
+        per_shard.append(
+            (src[sel], dst[sel] - g * rows, etype[sel], np.nonzero(sel)[0])
+        )
 
     stacked = build_blocked_shards(
         per_shard, rows, num_nodes,
@@ -157,14 +163,11 @@ def pallas_sharded_propagate(
         local = jax.tree_util.tree_map(lambda x: x[0], shards)
         local_rng = None
         if use_dropout:
-            # Independent per-shard masks. NOTE: these are NOT bitwise the
-            # single-device masks for the same key (the hash sees per-shard
-            # seeds and shard-local canonical edge ids) — statistically
-            # equivalent dropout, but not comparable in parity tests, which
-            # therefore run at rate 0.
-            local_rng = jax.random.fold_in(
-                rng, jax.lax.axis_index(GRAPH_AXIS)
-            )
+            # SAME seed on every shard: canonical edge ids in the layouts
+            # are global positions in the dst-sorted edge array, so the
+            # (seed, edge id, head) hash reproduces the single-device masks
+            # bitwise — dropout parity holds across device counts.
+            local_rng = rng
         return relgat_propagate_pallas(
             h_full,
             attn,

@@ -92,6 +92,35 @@ class RelGATTrainer:
                 and run_config.mesh.model_axis > 1
             )
         )
+        # Segment scanning (ModelConfig.scan_segments) bounds per-edge
+        # gather memory to E/S per device. It composes with the halo mesh
+        # (per-shard segment stacks scanned inside shard_map) but not with
+        # the replicated-Pallas mesh path or the halo overlap split.
+        scan_segments = (
+            run_config.model.scan_segments
+            if (
+                run_config.model.use_pallas
+                and run_config.model.scan_segments > 1
+            )
+            else 0
+        )
+        if scan_segments > 1 and graph_axis > 1 and mp == "replicated":
+            raise ValueError(
+                "scan_segments > 1 with a graph mesh axis requires "
+                "mesh_propagate='halo' (the replicated-Pallas path has no "
+                "scanned per-device layouts)"
+            )
+        halo_overlap = run_config.model.halo_overlap
+        if scan_segments > 1 and use_halo and halo_overlap:
+            # The scanned VJP yields final rows, not mergeable softmax
+            # partials; at scanning scale per-shard compute dwarfs the
+            # boundary all_to_all (docs/SCALING.md), so dropping the
+            # overlap split costs ~nothing.
+            print(
+                "scan_segments > 1: disabling halo comm/compute overlap "
+                "(scanned propagate has no partial-merge form)"
+            )
+            halo_overlap = False
         self.dataset = RelGATData(
             node2emb,
             rel2idx,
@@ -109,19 +138,9 @@ class RelGATTrainer:
                 else 1
             ),
             halo_shards=graph_axis if use_halo else 0,
-            halo_overlap=run_config.model.halo_overlap,
+            halo_overlap=halo_overlap,
             partition_nodes=run_config.model.partition_nodes,
-            # Mesh-less segment stacks: scanned on one device to bound
-            # per-edge gather memory (ModelConfig.scan_segments).
-            scan_segments=(
-                run_config.model.scan_segments
-                if (
-                    run_config.model.use_pallas
-                    and run_config.model.scan_segments > 1
-                    and graph_axis == 1
-                )
-                else 0
-            ),
+            scan_segments=scan_segments,
         )
         self._use_halo = use_halo
 

@@ -220,6 +220,14 @@ def main():
     ap.add_argument("--num-neg", type=int, default=6)
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--self-loops", dest="self_loops", action="store_true",
+                    help="self-loop-augmented KG: nodes see their own "
+                         "features through an ordinary edge, making the "
+                         "structured task LEARNABLE for this model family "
+                         "(without them eval MRR pins near random — see "
+                         "PARITY.md round-2 caveat)")
+    ap.add_argument("--no-write", dest="write", action="store_false",
+                    default=True, help="print only; don't rewrite PARITY.md")
     ap.add_argument("--tpu", action="store_true",
                     help="run our side on the TPU (default: CPU, like torch)")
     args = ap.parse_args()
@@ -233,7 +241,7 @@ def main():
 
     data = generate_synthetic_kg(
         num_nodes=args.nodes, num_edges=args.edges, num_rel=args.rels,
-        emb_dim=args.dim, seed=args.seed,
+        emb_dim=args.dim, seed=args.seed, self_loops=args.self_loops,
     )
 
     print("== torch reference semantics ==")
@@ -253,7 +261,8 @@ def main():
         f"config: {args.nodes} nodes / {args.edges} edges / {args.rels} "
         f"rels / dim {args.dim} / {args.layers}x{args.heads}h out{args.out_dim} "
         f"/ bs {args.batch} / K={k} / lr {args.lr} / self-adv + "
-        "multi-objective (1/1/1/0)",
+        "multi-objective (1/1/1/0)"
+        + (" / self-loop-augmented" if args.self_loops else ""),
         "",
         f"random-guess MRR = {random_mrr:.3f}",
         "",
@@ -272,7 +281,8 @@ def main():
     ]
     report = "\n".join(lines)
     print(report)
-    Path("PARITY.md").write_text(report + "\n")
+    if args.write:
+        Path("PARITY.md").write_text(report + "\n")
 
 
 if __name__ == "__main__":

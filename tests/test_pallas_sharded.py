@@ -55,6 +55,46 @@ def test_sharded_pallas_forward_matches_single_device():
     np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_pallas_dropout_matches_single_device():
+    """In-kernel dropout parity across device counts (closes the round-2
+    documented hole): per-shard layouts carry GLOBAL canonical edge ids and
+    every shard hashes the same seed, so masks are bitwise the
+    single-device masks — fwd and grads match at rate > 0."""
+    src, dst, et, h, attn, bias = _case(seed=9)
+    n_pad = h.shape[0]
+    bg = build_blocked_graph(src, dst, et, n_pad, block_nodes=64,
+                             chunk_edges=128)
+    mesh = make_mesh(data=1, graph=4)
+    sbg = shard_blocked_graph(
+        src, dst, et, n_pad, 4, block_nodes=64, chunk_edges=128
+    ).with_mesh(mesh)
+    kw = dict(attn_dropout_rate=0.3, dropout_rng=jax.random.PRNGKey(13))
+
+    want = np.asarray(relgat_propagate_pallas(h, attn, bias, bg, **kw))
+    got = np.asarray(pallas_sharded_propagate(h, attn, bias, sbg, **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # Dropout actually drops.
+    base = np.asarray(pallas_sharded_propagate(h, attn, bias, sbg))
+    assert np.abs(base - want).max() > 1e-3
+
+    def loss_sh(h_, a_, b_):
+        return jnp.sum(jnp.sin(
+            pallas_sharded_propagate(h_, a_, b_, sbg, **kw)
+        ))
+
+    def loss_1(h_, a_, b_):
+        return jnp.sum(jnp.sin(
+            relgat_propagate_pallas(h_, a_, b_, bg, **kw)
+        ))
+
+    gs = jax.grad(loss_sh, argnums=(0, 1, 2))(h, attn, bias)
+    g1 = jax.grad(loss_1, argnums=(0, 1, 2))(h, attn, bias)
+    for a, b in zip(gs, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_sharded_pallas_gradients_match_xla_single_device():
     """Grad parity vs the XLA reference on a mesh with a data axis > 1 —
     guards against shard_map transpose double-counting replicated inputs."""

@@ -326,6 +326,59 @@ def test_cli_synthetic_smoke(tmp_path):
     assert any(d.startswith("relgat_scorer-distmult") for d in dirs)
 
 
+def test_cli_config_file_layer(tmp_path):
+    """SURVEY §5.6 precedence CLI > config file > defaults: the serialized
+    training-config.json written to every checkpoint feeds back in via
+    --config, and explicit flags still override it."""
+    import json
+
+    from relgat_projector_tpu import cli
+    from relgat_projector_tpu.config import (
+        ModelConfig, RunConfig, TrainConfig, MeshConfig,
+    )
+
+    base = RunConfig(
+        model=ModelConfig(
+            in_dim=32, num_rel=4, gat_out_dim=24, gat_heads=3,
+            gat_num_layers=2, dropout=0.15, scorer_type="transe",
+            use_pallas=True, scan_segments=4,
+        ),
+        train=TrainConfig(
+            epochs=7, train_batch_size=96, lr=3e-4, num_neg=5,
+            lr_scheduler="cosine", steps_per_call=8, seed=11,
+            out_dir=str(tmp_path / "out"),
+        ),
+        mesh=MeshConfig(data_axis=2, graph_axis=4),
+        run_name="from-file",
+    )
+    cfg_path = tmp_path / "training-config.json"
+    cfg_path.write_text(base.to_json())
+
+    # File layer only: everything comes from the file.
+    args = cli.get_args(["--config", str(cfg_path), "--synthetic"])
+    rc = cli.build_run_config(args)
+    assert rc.model.gat_out_dim == 24 and rc.model.gat_heads == 3
+    assert rc.model.scorer_type == "transe" and rc.model.use_pallas
+    assert rc.model.scan_segments == 4
+    assert rc.train.epochs == 7 and rc.train.train_batch_size == 96
+    assert rc.train.lr == 3e-4 and rc.train.lr_scheduler == "cosine"
+    assert rc.train.steps_per_call == 8 and rc.train.seed == 11
+    assert rc.mesh.graph_axis == 4 and rc.mesh.data_axis == 2
+    assert rc.run_name == "from-file"
+
+    # Explicit flags override the file; untouched fields keep file values.
+    args2 = cli.get_args([
+        "--config", str(cfg_path), "--synthetic",
+        "--lr", "1e-2", "--heads", "6", "--mesh-graph", "1",
+    ])
+    rc2 = cli.build_run_config(args2)
+    assert rc2.train.lr == 1e-2
+    assert rc2.model.gat_heads == 6
+    assert rc2.mesh.graph_axis == 1
+    assert rc2.model.gat_out_dim == 24       # still from the file
+    assert rc2.train.epochs == 7             # still from the file
+
+
 def test_eval_metric_namespace_superset_of_reference():
     """The logged eval/* keys must cover the reference's eval namespace
     (reference ``trainer/relgat_projector.py:323-376``, SURVEY §5.5)."""
