@@ -332,11 +332,15 @@ def _bwd_src_kernel(
     #              this block across the block's chunks (no re-DMA) and the
     #              kernel gathers rows with the one-hot MXU trick below
     ge_ref,      # [TE, H*F + 8*H]  PACKED per-edge stream gathered at dst:
-    #              cols [0:HF] = g rows; then per-edge stats [HF+0:HF+H]=m,
-    #              [HF+H:HF+2H]=l, [HF+2H:HF+3H]=S, col HF+3H = gsum
-    #              (sum_{h,f} g[dst]). One wide gather, sliced IN VMEM —
-    #              host-side slices of the packed gather materialized
-    #              multi-GB copies at 8M edges.
+    #              cols [0:HF] = g rows; then per-edge stats. fp32 layout
+    #              (exact modes): [HF+0:HF+H]=m, [HF+H:HF+2H]=l,
+    #              [HF+2H:HF+3H]=S, col HF+3H = gsum (sum_{h,f} g[dst]).
+    #              bf16 layout (packed_bf16, "default" mode): each stat is
+    #              a (hi, lo) bf16 PAIR recombined to fp32-grade here —
+    #              m at [HF:HF+2H], l at [HF+2H:HF+4H], S at [HF+4H:HF+6H],
+    #              gsum at cols HF+6H / HF+6H+1. One wide gather, sliced
+    #              IN VMEM — host-side slices of the packed gather
+    #              materialized multi-GB copies at 8M edges.
     meta_ref,    # [1, 8, TE]  (0=etype, 1=local_src, 2=mask, 3=edge id)
     attn_ref,    # [R, H*F]
     seed_ref,    # [1, 1] int32 (attention-dropout hash seed)
@@ -352,6 +356,7 @@ def _bwd_src_kernel(
     eps: float,
     attn_dropout_rate: float,
     precision,
+    packed_bf16: bool = False,
 ):
     c = pl.program_id(0)
     prev = cb_ref[jnp.maximum(c - 1, 0)]
@@ -412,11 +417,25 @@ def _bwd_src_kernel(
     # what the grid amortizes worst). The earlier slower "panel variant"
     # (80.6 vs 75.8 ms) expanded [TE, H] -> [TE, H*F] with K=4 MXU matmuls;
     # this one uses VPU lane broadcasts.
-    m_all = ge_ref[:, hf0:hf0 + heads].astype(jnp.float32)  # [TE, H]
-    l_all = jnp.maximum(
-        ge_ref[:, hf0 + heads:hf0 + 2 * heads].astype(jnp.float32), eps
-    )
-    s_all = ge_ref[:, hf0 + 2 * heads:hf0 + 3 * heads].astype(jnp.float32)
+    if packed_bf16:
+        # (hi, lo) bf16 pairs -> fp32-grade stats (see _packed_stream).
+        def _pairs(c0):
+            return (
+                ge_ref[:, c0:c0 + heads].astype(jnp.float32)
+                + ge_ref[:, c0 + heads:c0 + 2 * heads].astype(jnp.float32)
+            )
+
+        m_all = _pairs(hf0)
+        l_all = jnp.maximum(_pairs(hf0 + 2 * heads), eps)
+        s_all = _pairs(hf0 + 4 * heads)
+    else:
+        m_all = ge_ref[:, hf0:hf0 + heads].astype(jnp.float32)  # [TE, H]
+        l_all = jnp.maximum(
+            ge_ref[:, hf0 + heads:hf0 + 2 * heads].astype(jnp.float32), eps
+        )
+        s_all = ge_ref[:, hf0 + 2 * heads:hf0 + 3 * heads].astype(
+            jnp.float32
+        )
     m_safe = jnp.where(m_all <= _NEG * 0.5, 0.0, m_all)
     e_act = jnp.where(eraw_all >= 0, eraw_all, negative_slope * eraw_all)
     # Clamp masked slots BEFORE the exp (mirroring the forward): their
@@ -465,7 +484,13 @@ def _bwd_src_kernel(
         onehot_r.T, deps, preferred_element_type=jnp.float32, precision=hi,
     )
 
-    gs_e = ge_ref[:, heads * f + 3 * heads].astype(jnp.float32)  # [TE]
+    if packed_bf16:
+        gs_e = (
+            ge_ref[:, hf0 + 6 * heads].astype(jnp.float32)
+            + ge_ref[:, hf0 + 6 * heads + 1].astype(jnp.float32)
+        )                                                        # [TE]
+    else:
+        gs_e = ge_ref[:, hf0 + 3 * heads].astype(jnp.float32)    # [TE]
     bias_contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
     dbias_ref[:] += jnp.where(lane == 0, bias_contrib[:, None], 0.0)
@@ -516,6 +541,7 @@ def fused_relgat_backward_src(
         eps=eps,
         attn_dropout_rate=attn_dropout_rate,
         precision=precision,
+        packed_bf16=ge_packed.dtype == jnp.bfloat16,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -83,12 +83,22 @@ def _segment_fwd(
     return out, out_blocks, stats
 
 
-def _packed_stream(g, out_blocks, stats, heads, f):
+def _packed_stream(g, out_blocks, stats, heads, f,
+                   precision=jax.lax.Precision.HIGHEST):
     """Per-dst-node backward statistics packed into ONE wide matrix
     ``[N_out, HF + 8H]``: g rows, then m, l, S = <out - bias, g>, gsum.
     One wide per-edge gather of this beats separate narrow-row stat
     gathers, which are pathologically slow on TPU; the kernel slices the
-    columns per chunk in VMEM."""
+    columns per chunk in VMEM.
+
+    In "default" (bf16) mode the matrix rides bf16 — HALF the HBM bytes of
+    the backward's largest node-sized array AND of its per-edge gather —
+    with the softmax statistics stored as bf16 (hi, lo) PAIRS the kernel
+    recombines to fp32-grade values: plain bf16 stats measured ~13% dh
+    error (m shifts the exponent, S enters the cancellation-prone
+    ``de = alpha * (dalpha - S)``), while hi+lo carries ~16 mantissa bits.
+    Same [N_out, HF + 8H] width either way; dtype + stat-column layout
+    differ (pairs need 6H+2 <= 8H stat columns)."""
     n_out = g.shape[0]
     hf = heads * f
     g2 = g.astype(jnp.float32).reshape(n_out, hf)
@@ -97,14 +107,34 @@ def _packed_stream(g, out_blocks, stats, heads, f):
     s_nh = jnp.sum(
         ((out2 - bias_n[:, None]) * g2).reshape(n_out, heads, f), axis=2
     )                                                  # [N_out, H]
+    gsum = jnp.sum(g2, axis=1)[:, None]                # [N_out, 1]
+    if _stream_dtype(precision) != jnp.bfloat16:
+        return jnp.concatenate(
+            [
+                g2,
+                stats[:n_out, 0, :],
+                stats[:n_out, 1, :],
+                s_nh,
+                gsum,
+                jnp.zeros((n_out, 5 * heads - 1), jnp.float32),
+            ],
+            axis=1,
+        )
+
+    def pair(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    m_hi, m_lo = pair(stats[:n_out, 0, :])
+    l_hi, l_lo = pair(stats[:n_out, 1, :])
+    s_hi, s_lo = pair(s_nh)
+    gs_hi, gs_lo = pair(gsum)
     return jnp.concatenate(
         [
-            g2,
-            stats[:n_out, 0, :],
-            stats[:n_out, 1, :],
-            s_nh,
-            jnp.sum(g2, axis=1)[:, None],
-            jnp.zeros((n_out, 5 * heads - 1), jnp.float32),
+            g2.astype(jnp.bfloat16),
+            m_hi, m_lo, l_hi, l_lo, s_hi, s_lo, gs_hi, gs_lo,
+            jnp.zeros((n_out, 2 * heads - 2), jnp.bfloat16),
         ],
         axis=1,
     )
@@ -132,10 +162,11 @@ def _bwd_from_packed(
 
     heads, num_rel, f = attn_bank.shape
     td = bs.block_nodes
-    # The packed g/stats stream stays fp32 in every mode: bf16 softmax
-    # statistics (m shifts the exponent, S enters the cancellation-prone
-    # de = alpha * (dalpha - S)) measured ~13% dh error — only the source
-    # features ride bf16 in "default" mode.
+    # Exact modes gather the fp32 packed stream; "default" mode gathers a
+    # bf16 one whose softmax stats ride as (hi, lo) pairs — plain bf16
+    # stats measured ~13% dh error (m shifts the exponent, S enters the
+    # cancellation-prone de = alpha * (dalpha - S)); the pair recombination
+    # keeps fp32-grade stats at half the gather bytes (_packed_stream).
     ge_all = jnp.take(packed, bs.dst, axis=0)
     n_src = h.shape[0]
     hb = h.reshape(n_src, heads * f).astype(_stream_dtype(precision))
@@ -176,7 +207,9 @@ def _segment_bwd(
         use_bias=use_bias, negative_slope=negative_slope, eps=eps,
         attn_dropout_rate=attn_dropout_rate, precision=precision,
     )
-    packed = _packed_stream(g, out_blocks, stats, heads, f)
+    packed = _packed_stream(
+        g, out_blocks, stats, heads, f, precision=precision
+    )
     dh_blocks, dattn, dbias = _bwd_from_packed(
         h, attn_bank, packed, blocked.by_src, seed, **cfg
     )
@@ -351,7 +384,8 @@ def _make_overlapped_propagate(
          bl_loc, bl_rem) = residuals
         heads, num_rel, f = attn_bank.shape
         packed = _packed_stream(
-            g.astype(jnp.float32), outb, stats, heads, f
+            g.astype(jnp.float32), outb, stats, heads, f,
+            precision=cfg["precision"],
         )
         dh_own_b, dattn_a, dbias_a = _bwd_from_packed(
             h_own, attn_bank, packed, bl_loc.by_src, seed, **cfg
@@ -488,6 +522,7 @@ def _make_scanned_propagate(
             stats.reshape(s * rows_d, 8, heads),
             heads,
             f,
+            precision=cfg["precision"],
         )
 
         rows_s = sbg.rows_src
