@@ -207,6 +207,54 @@ def test_halo_scanned_dropout_matches_unscanned_halo():
     assert np.abs(base - got).max() > 1e-3
 
 
+def test_halo_scanned_with_head_tp_matches_single_device():
+    """The full composition: halo shards x head tensor-parallelism x
+    per-shard segment scanning on a (graph=2, model=2) mesh must match
+    single-device numerics, forward and gradients."""
+    from relgat_projector_tpu.ops.relgat_ops import relgat_propagate
+    from relgat_projector_tpu.parallel import make_mesh
+    from relgat_projector_tpu.parallel.halo import (
+        build_halo_graph,
+        halo_propagate,
+    )
+
+    src, dst, et, h0, attn, bias = _case(n_pad=300, e=2200, heads=4, seed=6)
+    mesh = make_mesh(data=1, graph=2, model=2)
+    hg = build_halo_graph(
+        src, dst, et, 300, 2, blocked=True, block_nodes=64,
+        chunk_edges=128, overlap=False, scan_segments=2,
+    ).with_mesh(mesh)
+    n_pad = hg.num_nodes
+    rng = np.random.default_rng(8)
+    h = jnp.asarray(
+        rng.standard_normal((n_pad, 4, h0.shape[2])).astype(np.float32)
+    )
+    want = np.asarray(relgat_propagate(
+        h, attn, bias, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
+        num_nodes=n_pad,
+    ))
+    got = np.asarray(halo_propagate(h, attn, bias, hg, use_pallas=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss_sh(h_, a_, b_):
+        return jnp.sum(jnp.sin(
+            halo_propagate(h_, a_, b_, hg, use_pallas=True)
+        ))
+
+    def loss_1(h_, a_, b_):
+        return jnp.sum(jnp.sin(relgat_propagate(
+            h_, a_, b_, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(et), num_nodes=n_pad,
+        )))
+
+    gs = jax.grad(loss_sh, argnums=(0, 1, 2))(h, attn, bias)
+    g1 = jax.grad(loss_1, argnums=(0, 1, 2))(h, attn, bias)
+    for a, b in zip(gs, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_trainer_halo_with_scan_segments_matches_single_device():
     """Full trainer: halo mesh + use_pallas + scan_segments (the r2 gate
     `graph_axis == 1` is gone) == single-device numerics; overlap is
