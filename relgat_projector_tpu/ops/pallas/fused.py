@@ -357,7 +357,12 @@ def _bwd_src_kernel(
     attn_dropout_rate: float,
     precision,
     packed_bf16: bool = False,
+    ablate: frozenset = frozenset(),
 ):
+    # ``ablate`` knocks out named sub-computations at COMPILE time (Python
+    # conditionals on a static set — zero cost when empty) so
+    # ``scripts/tpu_bwd_profile.py`` can attribute the measured kernel time
+    # op-by-op on hardware. Production callers never set it.
     c = pl.program_id(0)
     prev = cb_ref[jnp.maximum(c - 1, 0)]
     is_first = jnp.logical_or(c == 0, cb_ref[c] != prev)
@@ -381,35 +386,49 @@ def _bwd_src_kernel(
         dattn_ref[:] = jnp.zeros_like(dattn_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-    rel_att_all = jnp.dot(
-        onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
-        precision=hi,
-    )                                                     # [TE, H*F]
+    if "relgather" in ablate:
+        rel_att_all = attn_ref[0:1, :] + jnp.zeros(
+            (te, heads * feat), jnp.float32
+        )
+    else:
+        rel_att_all = jnp.dot(
+            onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
+            precision=hi,
+        )                                                 # [TE, H*F]
 
     # All-heads SDDMM recompute + dalpha via TWO block-diagonal MXU passes
     # instead of 2*H per-head [TE, F] lane reductions (VPU chains were the
     # backward's bottleneck): (ps * x) @ blockdiag[HF, H].
     hf0 = heads * f
+    g_all = ge_ref[:, :hf0].astype(jnp.float32)           # [TE, H*F]
     # In-kernel per-edge source gather: one-hot row-select from the
     # chunk's source block (per-edge gathers through the MXU is the
     # project's established pattern; masked slots pick garbage rows whose
     # logits are clamped to _NEG below, so alpha/de are exactly zero).
-    ps_all = jnp.dot(
-        onehot_s.T, h_ref[:].astype(jnp.float32),
-        preferred_element_type=jnp.float32, precision=hi,
-    )                                                     # [TE, H*F]
-    g_all = ge_ref[:, :hf0].astype(jnp.float32)           # [TE, H*F]
+    if "gather" in ablate:
+        ps_all = g_all
+    else:
+        ps_all = jnp.dot(
+            onehot_s.T, h_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision=hi,
+        )                                                 # [TE, H*F]
     col_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 0) // f
     row_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 1)
     bd = (col_h == row_h).astype(jnp.float32)             # [HF, H]
-    eraw_all = jnp.dot(
-        ps_all * rel_att_all, bd, preferred_element_type=jnp.float32,
-        precision=hi,
-    )                                                     # [TE, H]
-    dalpha_all = jnp.dot(
-        ps_all * g_all, bd, preferred_element_type=jnp.float32,
-        precision=hi,
-    )                                                     # [TE, H]
+    if "sddmm" in ablate:
+        eraw_all = jnp.zeros((te, heads), jnp.float32)
+    else:
+        eraw_all = jnp.dot(
+            ps_all * rel_att_all, bd, preferred_element_type=jnp.float32,
+            precision=hi,
+        )                                                 # [TE, H]
+    if "dalpha" in ablate:
+        dalpha_all = eraw_all
+    else:
+        dalpha_all = jnp.dot(
+            ps_all * g_all, bd, preferred_element_type=jnp.float32,
+            precision=hi,
+        )                                                 # [TE, H]
 
     # Remaining per-edge work runs as [TE, H] PANELS (H=4 lanes pad to 128
     # — 32x lane waste, but these are tiny arrays and one panel op replaces
@@ -417,7 +436,11 @@ def _bwd_src_kernel(
     # what the grid amortizes worst). The earlier slower "panel variant"
     # (80.6 vs 75.8 ms) expanded [TE, H] -> [TE, H*F] with K=4 MXU matmuls;
     # this one uses VPU lane broadcasts.
-    if packed_bf16:
+    if "stats" in ablate:
+        m_all = jnp.zeros((te, heads), jnp.float32)
+        l_all = jnp.ones((te, heads), jnp.float32)
+        s_all = jnp.zeros((te, heads), jnp.float32)
+    elif packed_bf16:
         # (hi, lo) bf16 pairs -> fp32-grade stats (see _packed_stream).
         def _pairs(c0):
             return (
@@ -436,64 +459,97 @@ def _bwd_src_kernel(
         s_all = ge_ref[:, hf0 + 2 * heads:hf0 + 3 * heads].astype(
             jnp.float32
         )
-    m_safe = jnp.where(m_all <= _NEG * 0.5, 0.0, m_all)
-    e_act = jnp.where(eraw_all >= 0, eraw_all, negative_slope * eraw_all)
-    # Clamp masked slots BEFORE the exp (mirroring the forward): their
-    # recomputed logits pair garbage rows with garbage stats, and
-    # exp(overflow) * maskf would be inf * 0 = NaN, not 0.
-    e_act = jnp.where(maskf[:, None] > 0, e_act, _NEG)
-    alpha_all = jnp.exp(e_act - m_safe) / l_all * maskf[:, None]  # [TE, H]
+    if "vpu" in ablate:
+        alpha_all = eraw_all
+        aw_all = alpha_all
+        de_all = dalpha_all
+    else:
+        m_safe = jnp.where(m_all <= _NEG * 0.5, 0.0, m_all)
+        e_act = jnp.where(
+            eraw_all >= 0, eraw_all, negative_slope * eraw_all
+        )
+        # Clamp masked slots BEFORE the exp (mirroring the forward): their
+        # recomputed logits pair garbage rows with garbage stats, and
+        # exp(overflow) * maskf would be inf * 0 = NaN, not 0.
+        e_act = jnp.where(maskf[:, None] > 0, e_act, _NEG)
+        alpha_all = (
+            jnp.exp(e_act - m_safe) / l_all * maskf[:, None]
+        )                                                 # [TE, H]
 
-    # Replay the forward's attention-dropout mask (hash of the seed +
-    # canonical edge id + head; see the forward kernel / ops/dropout.py).
-    # With dropped weights a~ = alpha * k: dps gets a~ * g, and
-    # dalpha -> k * <ps, g>; the softmax-backward sum S (computed from
-    # out·g, which already includes the dropout) is unchanged.
-    aw_all = alpha_all
-    dmul_all = dalpha_all
-    if attn_dropout_rate > 0.0:
-        from relgat_projector_tpu.ops.dropout import edge_keep_mask_all_heads
+        # Replay the forward's attention-dropout mask (hash of the seed +
+        # canonical edge id + head; see the forward kernel /
+        # ops/dropout.py). With dropped weights a~ = alpha * k: dps gets
+        # a~ * g, and dalpha -> k * <ps, g>; the softmax-backward sum S
+        # (computed from out·g, which already includes the dropout) is
+        # unchanged.
+        aw_all = alpha_all
+        dmul_all = dalpha_all
+        if attn_dropout_rate > 0.0:
+            from relgat_projector_tpu.ops.dropout import (
+                edge_keep_mask_all_heads,
+            )
 
-        eid = meta_ref[0, 3, :]
-        k_all = edge_keep_mask_all_heads(
-            eid, heads, seed_ref[0, 0], attn_dropout_rate
-        ) / (1.0 - attn_dropout_rate)
-        aw_all = alpha_all * k_all
-        dmul_all = dalpha_all * k_all
-    de_all = alpha_all * (dmul_all - s_all)
-    de_all = de_all * jnp.where(eraw_all >= 0, 1.0, negative_slope)
+            eid = meta_ref[0, 3, :]
+            k_all = edge_keep_mask_all_heads(
+                eid, heads, seed_ref[0, 0], attn_dropout_rate
+            ) / (1.0 - attn_dropout_rate)
+            aw_all = alpha_all * k_all
+            dmul_all = dalpha_all * k_all
+        de_all = alpha_all * (dmul_all - s_all)
+        de_all = de_all * jnp.where(eraw_all >= 0, 1.0, negative_slope)
 
-    de_exp = _expand(de_all, heads, f)                    # [TE, H*F]
-    contrib = _expand(aw_all, heads, f) * g_all + de_exp * rel_att_all
-    deps = de_exp * ps_all                                # [TE, H*F]
-    partial = jnp.dot(
-        onehot_s, contrib, preferred_element_type=jnp.float32, precision=hi,
-    )                                                     # [TD, H*F]
+    if "expand" in ablate:
+        contrib = g_all + rel_att_all
+        deps = ps_all
+    else:
+        de_exp = _expand(de_all, heads, f)                # [TE, H*F]
+        contrib = _expand(aw_all, heads, f) * g_all + de_exp * rel_att_all
+        deps = de_exp * ps_all                            # [TE, H*F]
+    if "dh" in ablate:
+        partial = contrib[:td, :]  # keeps contrib live (no DCE), no matmul
+    else:
+        partial = jnp.dot(
+            onehot_s, contrib, preferred_element_type=jnp.float32,
+            precision=hi,
+        )                                                 # [TD, H*F]
 
-    @pl.when(is_first)
-    def _():
+    if "dh_rmw" in ablate:
         dh_ref[:] = partial
+    else:
+        @pl.when(is_first)
+        def _():
+            dh_ref[:] = partial
 
-    @pl.when(jnp.logical_not(is_first))
-    def _():
-        dh_ref[:] += partial
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            dh_ref[:] += partial
 
     # One [R, TE] @ [TE, H*F] matmul for all heads' dattn contributions
     # (N=H*F utilizes the MXU far better than per-head N=F passes).
-    dattn_ref[:] += jnp.dot(
-        onehot_r.T, deps, preferred_element_type=jnp.float32, precision=hi,
-    )
-
-    if packed_bf16:
-        gs_e = (
-            ge_ref[:, hf0 + 6 * heads].astype(jnp.float32)
-            + ge_ref[:, hf0 + 6 * heads + 1].astype(jnp.float32)
-        )                                                        # [TE]
+    if "dattn" in ablate:
+        dattn_ref[:] += deps[:num_rel, :]  # keeps deps live, no matmul
+    elif "dattn_rmw" in ablate:
+        dattn_ref[:] = jnp.dot(
+            onehot_r.T, deps, preferred_element_type=jnp.float32,
+            precision=hi,
+        )
     else:
-        gs_e = ge_ref[:, hf0 + 3 * heads].astype(jnp.float32)    # [TE]
-    bias_contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
-    dbias_ref[:] += jnp.where(lane == 0, bias_contrib[:, None], 0.0)
+        dattn_ref[:] += jnp.dot(
+            onehot_r.T, deps, preferred_element_type=jnp.float32,
+            precision=hi,
+        )
+
+    if "dbias" not in ablate:
+        if packed_bf16:
+            gs_e = (
+                ge_ref[:, hf0 + 6 * heads].astype(jnp.float32)
+                + ge_ref[:, hf0 + 6 * heads + 1].astype(jnp.float32)
+            )                                                    # [TE]
+        else:
+            gs_e = ge_ref[:, hf0 + 3 * heads].astype(jnp.float32)  # [TE]
+        bias_contrib = jnp.sum(onehot_r * (gs_e * maskf)[:, None], axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, dbias_ref.shape, 1)
+        dbias_ref[:] += jnp.where(lane == 0, bias_contrib[:, None], 0.0)
 
 
 def fused_relgat_backward_src(
@@ -513,6 +569,7 @@ def fused_relgat_backward_src(
     attn_dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,  # int32 scalar
     precision=jax.lax.Precision.HIGHEST,
+    ablate: frozenset = frozenset(),  # profiling knockouts; see kernel doc
 ):
     """Returns ``(dh_blocks [NB*TD, H*F], dattn [H, R, F], dbias [R])``."""
     heads, num_rel, f = attn.shape
@@ -542,6 +599,7 @@ def fused_relgat_backward_src(
         attn_dropout_rate=attn_dropout_rate,
         precision=precision,
         packed_bf16=ge_packed.dtype == jnp.bfloat16,
+        ablate=ablate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -24,8 +24,8 @@ run() { # name timeout cmd...
 # 1. Kernel validation at HEAD (the outage-era commits dc1326a..6f3f0c9
 #    landed with interpret-mode checks only): fwd + grads vs XLA, both
 #    precision tiers, dropout 0.0 and 0.3 (the check runs both).
-run kernel_check_highest 2400 python scripts/tpu_kernel_check.py
-run kernel_check_default 2400 python scripts/tpu_kernel_check.py --precision default
+run kernel_check_highest 2400 env PYTHONPATH=. python scripts/tpu_kernel_check.py
+run kernel_check_default 2400 env PYTHONPATH=. python scripts/tpu_kernel_check.py --precision default
 
 # 2. Driver-comparable benchmark numbers (the r2 headline has no
 #    driver-captured record).
