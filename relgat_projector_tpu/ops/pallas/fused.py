@@ -93,7 +93,10 @@ def _fused_kernel(
     eps: float,
     attn_dropout_rate: float,
     precision,
+    ablate: frozenset = frozenset(),
 ):
+    # ``ablate``: compile-time knockouts for scripts/tpu_bwd_profile.py
+    # --forward (zero cost when empty; production callers never set it).
     c = pl.program_id(0)
     prev = cb_ref[jnp.maximum(c - 1, 0)]
     is_first = jnp.logical_or(c == 0, cb_ref[c] != prev)
@@ -120,10 +123,15 @@ def _fused_kernel(
         b_s[:] = jnp.zeros_like(b_s)
 
     # One all-heads relation-attention gather: [TE, R] @ [R, H*F].
-    rel_att_all = jnp.dot(
-        onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
-        precision=hi,
-    )                                                     # [TE, H*F]
+    if "relgather" in ablate:
+        rel_att_all = attn_ref[0:1, :] + jnp.zeros(
+            (te, heads * f), jnp.float32
+        )
+    else:
+        rel_att_all = jnp.dot(
+            onehot_r, attn_ref[:], preferred_element_type=jnp.float32,
+            precision=hi,
+        )                                                 # [TE, H*F]
 
     # All-heads SDDMM via the block-diagonal MXU pass (same trick as the
     # backward): per-head lane reductions become one [TE, HF] @ [HF, H].
@@ -134,10 +142,13 @@ def _fused_kernel(
     col_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 0) // f
     row_h = jax.lax.broadcasted_iota(jnp.int32, (hf0, heads), 1)
     bdiag = (col_h == row_h).astype(jnp.float32)          # [HF, H]
-    eraw_all = jnp.dot(
-        ps_all * rel_att_all, bdiag, preferred_element_type=jnp.float32,
-        precision=hi,
-    )                                                     # [TE, H]
+    if "sddmm" in ablate:
+        eraw_all = (ps_all * rel_att_all)[:, :heads]
+    else:
+        eraw_all = jnp.dot(
+            ps_all * rel_att_all, bdiag, preferred_element_type=jnp.float32,
+            precision=hi,
+        )                                                 # [TE, H]
     e_all = jnp.where(eraw_all >= 0, eraw_all, negative_slope * eraw_all)
     e_all = jnp.where(maskf[:, None] > 0, e_all, _NEG)    # [TE, H]
 
@@ -155,20 +166,31 @@ def _fused_kernel(
     # One [TD, TE] @ [TE, H+1] matmul accumulates both the per-dst
     # denominators and the per-dst relation-bias sum.
     bias_e = jnp.sum(onehot_r * bias_ref[:, 0][None, :], axis=1)  # [TE]
-    pl_bias = jnp.dot(
-        onehot_d,
-        jnp.concatenate([p_all, (bias_e * maskf)[:, None]], axis=1),
-        preferred_element_type=jnp.float32, precision=hi,
-    )                                                     # [TD, H+1]
+    if "lbias" in ablate:
+        pl_bias = jnp.concatenate(
+            [p_all[:td, :], (bias_e * maskf)[:td, None]], axis=1
+        )  # keeps p_all/bias_e live without the matmul
+    else:
+        pl_bias = jnp.dot(
+            onehot_d,
+            jnp.concatenate([p_all, (bias_e * maskf)[:, None]], axis=1),
+            preferred_element_type=jnp.float32, precision=hi,
+        )                                                 # [TD, H+1]
     partial_l = pl_bias[:, :heads]                        # [TD, H]
 
     m_prev = m_s[:]                                       # [TD, H]
-    m_new = jnp.maximum(m_prev, c_m[None, :])
-    # exp(_NEG - _NEG) = 1 is harmless here: such rows carry l = 0 and
-    # partial_l = 0, and exp(_NEG - real) flushes to 0 in fp32.
-    scale_prev = jnp.exp(m_prev - m_new)                  # [TD, H]
-    scale_chunk = jnp.exp(c_m[None, :] - m_new)           # [TD, H]
-    l_new_all = l_s[:] * scale_prev + partial_l * scale_chunk
+    if "merge" in ablate:
+        m_new = m_prev
+        scale_prev = m_prev
+        scale_chunk = partial_l
+        l_new_all = l_s[:] + partial_l
+    else:
+        m_new = jnp.maximum(m_prev, c_m[None, :])
+        # exp(_NEG - _NEG) = 1 is harmless here: such rows carry l = 0 and
+        # partial_l = 0, and exp(_NEG - real) flushes to 0 in fp32.
+        scale_prev = jnp.exp(m_prev - m_new)              # [TD, H]
+        scale_chunk = jnp.exp(c_m[None, :] - m_new)       # [TD, H]
+        l_new_all = l_s[:] * scale_prev + partial_l * scale_chunk
     m_s[:] = m_new
     l_s[:] = l_new_all
 
@@ -190,14 +212,24 @@ def _fused_kernel(
     # ONE all-heads aggregation matmul (N=H*F fills the MXU lanes; the
     # per-head N=F variant issued H matmuls at half lane utilization and
     # its slice/broadcast chains dominated the per-chunk op count).
-    partial_all = jnp.dot(
-        onehot_d, _expand(p_acc_all, heads, f) * ps_all,
-        preferred_element_type=jnp.float32, precision=hi,
-    )                                                     # [TD, H*F]
-    acc_new = (
-        acc_s[:] * _expand(scale_prev, heads, f)
-        + partial_all * _expand(scale_chunk, heads, f)
-    )
+    if "expand" in ablate:
+        weighted = ps_all
+    else:
+        weighted = _expand(p_acc_all, heads, f) * ps_all
+    if "agg" in ablate:
+        partial_all = weighted[:td, :]  # keeps the product live, no matmul
+    else:
+        partial_all = jnp.dot(
+            onehot_d, weighted,
+            preferred_element_type=jnp.float32, precision=hi,
+        )                                                 # [TD, H*F]
+    if "expand" in ablate:
+        acc_new = acc_s[:] + partial_all
+    else:
+        acc_new = (
+            acc_s[:] * _expand(scale_prev, heads, f)
+            + partial_all * _expand(scale_chunk, heads, f)
+        )
     acc_s[:] = acc_new
 
     # ---- relation bias (accumulated via the fused matmul above) ---------
@@ -206,17 +238,28 @@ def _fused_kernel(
 
     # ---- write normalized output (final chunk of the block wins) --------
     denom = jnp.maximum(l_new_all, eps)                   # [TD, H]
-    out_ref[:] = (
-        acc_new / _expand(denom, heads, f) + b_new[:, None]
-    )                                                     # [TD, H*F]
+    if "out" in ablate:
+        out_ref[:] = acc_new
+    elif "expand" in ablate:
+        out_ref[:] = acc_new / denom[:, :1] + b_new[:, None]
+    else:
+        out_ref[:] = (
+            acc_new / _expand(denom, heads, f) + b_new[:, None]
+        )                                                 # [TD, H*F]
 
     # Stats as one full-block 3D store (Mosaic rejects 1-D writes into 3-D
     # refs); tiny [TD, H] stacks.
-    b_t = jnp.broadcast_to(b_new[:, None], (td, heads))
-    zeros = jnp.zeros((td, heads), jnp.float32)
-    stats_ref[:] = jnp.stack(
-        [m_new, l_new_all, b_t, zeros, zeros, zeros, zeros, zeros], axis=1
-    )
+    if "stats" in ablate:
+        stats_ref[:] = jnp.broadcast_to(
+            m_new[:, None, :], (td, 8, heads)
+        )
+    else:
+        b_t = jnp.broadcast_to(b_new[:, None], (td, heads))
+        zeros = jnp.zeros((td, heads), jnp.float32)
+        stats_ref[:] = jnp.stack(
+            [m_new, l_new_all, b_t, zeros, zeros, zeros, zeros, zeros],
+            axis=1,
+        )
 
 
 def fused_relgat_forward(
@@ -231,6 +274,7 @@ def fused_relgat_forward(
     dropout_seed: Optional[jax.Array] = None,  # int32 scalar
     with_stats: bool = False,
     precision=jax.lax.Precision.HIGHEST,
+    ablate: frozenset = frozenset(),  # profiling knockouts; see kernel doc
 ):
     """Returns ``[num_blocks * TD, H*F]`` aggregated+normalized messages
     (+bias); with ``with_stats`` also ``[NB*TD, 8, H]`` softmax statistics
@@ -266,6 +310,7 @@ def fused_relgat_forward(
         eps=eps,
         attn_dropout_rate=attn_dropout_rate,
         precision=precision,
+        ablate=ablate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

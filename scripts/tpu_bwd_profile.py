@@ -24,6 +24,14 @@ substitutes so Mosaic cannot dead-code-eliminate upstream work):
   dattn_rmw  the dattn += read-modify-write (store-only instead)
   dbias      per-chunk dbias reduction + RMW
 
+``--forward`` profiles the forward kernel instead (its own residual:
+~15.7 ms measured vs a ~7.7 ms MXU-pass model) with knockouts
+  relgather / sddmm / lbias / agg  (the four matmuls)
+  merge      running (m, l) flash-merge chain
+  expand     the [*,H]->[*,HF] lane broadcasts (scales + denominator)
+  out        output normalization (store raw accumulator)
+  stats      the [TD,8,H] stats stack+store
+
 Usage: PYTHONPATH=. python scripts/tpu_bwd_profile.py [--precision default]
        (run alone: single TPU process rule)
 """
@@ -52,6 +60,8 @@ def main():
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "default"])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--forward", action="store_true",
+                    help="profile the forward kernel instead")
     ap.add_argument(
         "--only", default=None,
         help="comma-separated knockouts to run (default: all)",
@@ -125,24 +135,47 @@ def main():
         leaf = min(jax.tree_util.tree_leaves(x), key=lambda a: a.size)
         _ = np.asarray(jax.device_get(leaf)).ravel()[:1]
 
-    def run(ablate):
-        fn = jax.jit(
-            lambda hb_, ge_, a_: fused_relgat_backward_src(
-                hb_, ge_, bs, a_, precision=precision,
-                ablate=frozenset(ablate),
+    if args.forward:
+        def run(ablate):
+            fn = jax.jit(
+                lambda ps_, a_, b_: fused_relgat_forward(
+                    ps_, blocked.by_dst, a_, b_, with_stats=True,
+                    precision=precision, ablate=frozenset(ablate),
+                )
             )
-        )
-        return _timeit(lambda: fn(hb, ge_all, attn), sync_any, args.steps)
+            return _timeit(lambda: fn(ps, attn, rel_bias), sync_any,
+                           args.steps)
 
-    knockouts = [
-        "relgather", "gather", "sddmm", "dalpha", "stats", "vpu",
-        "expand", "dh", "dh_rmw", "dattn", "dattn_rmw", "dbias",
-    ]
+        knockouts = [
+            "relgather", "sddmm", "lbias", "agg", "merge", "expand",
+            "out", "stats",
+        ]
+        skeleton = knockouts
+    else:
+        def run(ablate):
+            fn = jax.jit(
+                lambda hb_, ge_, a_: fused_relgat_backward_src(
+                    hb_, ge_, bs, a_, precision=precision,
+                    ablate=frozenset(ablate),
+                )
+            )
+            return _timeit(lambda: fn(hb, ge_all, attn), sync_any,
+                           args.steps)
+
+        knockouts = [
+            "relgather", "gather", "sddmm", "dalpha", "stats", "vpu",
+            "expand", "dh", "dh_rmw", "dattn", "dattn_rmw", "dbias",
+        ]
+        skeleton = [
+            "relgather", "gather", "sddmm", "dalpha", "stats", "vpu",
+            "expand", "dh", "dattn", "dbias",
+        ]
     if args.only:
         knockouts = [k for k in args.only.split(",") if k]
 
     t_full = run([])
-    print(f"\n== bwd kernel-only attribution ({args.precision}, "
+    which = "fwd" if args.forward else "bwd"
+    print(f"\n== {which} kernel-only attribution ({args.precision}, "
           f"{cfg['num_edges']} edges) ==")
     print(f"{'full kernel':28s} {t_full * 1e3:8.2f} ms")
     rows = []
@@ -153,10 +186,7 @@ def main():
               flush=True)
 
     # Skeleton: streams + grid only (every knockout at once).
-    t_skel = run(knockouts if not args.only else [
-        "relgather", "gather", "sddmm", "dalpha", "stats", "vpu",
-        "expand", "dh", "dattn", "dbias",
-    ])
+    t_skel = run(skeleton)
     print(f"{'skeleton (streams+grid)':28s} {t_skel * 1e3:8.2f} ms")
     total_attr = sum(d for _, _, d in rows)
     print(f"{'sum of op costs':28s} {total_attr * 1e3:8.2f} ms "

@@ -24,8 +24,8 @@ run() { # name timeout cmd...
 # 1. Kernel validation at HEAD (the outage-era commits dc1326a..6f3f0c9
 #    landed with interpret-mode checks only): fwd + grads vs XLA, both
 #    precision tiers, dropout 0.0 and 0.3 (the check runs both).
-run kernel_check_highest 2400 env PYTHONPATH=. python scripts/tpu_kernel_check.py
-run kernel_check_default 2400 env PYTHONPATH=. python scripts/tpu_kernel_check.py --precision default
+run kernel_check_highest 2400 env PYTHONPATH=.:/root/.axon_site python scripts/tpu_kernel_check.py
+run kernel_check_default 2400 env PYTHONPATH=.:/root/.axon_site python scripts/tpu_kernel_check.py --precision default
 
 # 2. Driver-comparable benchmark numbers (the r2 headline has no
 #    driver-captured record).
@@ -36,7 +36,7 @@ run bench_default 3600 python bench.py --kernel-precision default
 # 3. Memory-floor probe (VERDICT r2 next-8): 16M edges @ 1.6M nodes in
 #    default mode — the bf16-pair packed stream halves the backward's
 #    largest node-sized array (round-2 OOM'd here by 310 MB).
-run scale_16m 3600 env PYTHONPATH=. python scripts/tpu_scale_check.py \
+run scale_16m 3600 env PYTHONPATH=.:/root/.axon_site python scripts/tpu_scale_check.py \
     --edges 16000000 --nodes 1600000 --scan-segments 16 \
     --kernel-precision default --steps 4
 
