@@ -167,8 +167,11 @@ def _fused_kernel(
     # denominators and the per-dst relation-bias sum.
     bias_e = jnp.sum(onehot_r * bias_ref[:, 0][None, :], axis=1)  # [TE]
     if "lbias" in ablate:
+        # reshape-then-slice: slice+newaxis mixed indexing leaves jnp's
+        # slice fast path and lowers to a 1-D gather Mosaic rejects.
         pl_bias = jnp.concatenate(
-            [p_all[:td, :], (bias_e * maskf)[:td, None]], axis=1
+            [p_all[:td, :], (bias_e * maskf).reshape(te, 1)[:td, :]],
+            axis=1,
         )  # keeps p_all/bias_e live without the matmul
     else:
         pl_bias = jnp.dot(

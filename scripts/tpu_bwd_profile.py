@@ -132,8 +132,11 @@ def main():
     )(h)
 
     def sync_any(x):
+        # Fetch ONE element (device-side slice first): device_get of a whole
+        # leaf ships it through the relay — the forward's smallest leaf is
+        # the 12.8 MB stats array, which inflated its timings by ~30%.
         leaf = min(jax.tree_util.tree_leaves(x), key=lambda a: a.size)
-        _ = np.asarray(jax.device_get(leaf)).ravel()[:1]
+        _ = float(leaf.ravel()[0])
 
     if args.forward:
         def run(ablate):
