@@ -61,6 +61,8 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.blocked_phase1.restype = ctypes.c_int64
         lib.compact_and_filter.restype = ctypes.c_int64
+        lib.lpa_refine.restype = ctypes.c_int64
+        lib.bfs_grow.restype = None
         _lib = lib
     except Exception as exc:  # no toolchain / unreadable: numpy fallback
         print(f"[native] graphbuild unavailable ({exc}); using NumPy path")
@@ -129,3 +131,56 @@ def native_blocked_arrays(
         block_nonempty=block_nonempty, chunk_meta=chunk_meta,
         edge_of_slot=edge_of_slot,
     )
+
+
+def native_lpa_refine(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    caps: np.ndarray,
+    soft_caps: np.ndarray,
+    init_labels: np.ndarray,
+    max_passes: int,
+) -> Optional[np.ndarray]:
+    """Async size-constrained label propagation + exact-caps repair in C++
+    (``native/graphbuild.cpp lpa_refine``); None if the native library is
+    unavailable or rejects the input (numpy fallback then applies)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    caps = np.ascontiguousarray(caps, np.int64)
+    soft_caps = np.ascontiguousarray(soft_caps, np.int64)
+    labels = np.ascontiguousarray(init_labels, np.int64).copy()
+    rc = lib.lpa_refine(
+        _i64p(src), _i64p(dst), ctypes.c_int64(src.shape[0]),
+        ctypes.c_int64(num_nodes), ctypes.c_int64(caps.shape[0]),
+        _i64p(caps), _i64p(soft_caps), ctypes.c_int64(max_passes),
+        _i64p(labels),
+    )
+    if rc < 0:
+        return None
+    return labels
+
+
+def native_bfs_grow(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    caps: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Greedy BFS-wave graph growing in C++; None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    caps = np.ascontiguousarray(caps, np.int64)
+    labels = np.empty(num_nodes, np.int64)
+    lib.bfs_grow(
+        _i64p(src), _i64p(dst), ctypes.c_int64(src.shape[0]),
+        ctypes.c_int64(num_nodes), ctypes.c_int64(caps.shape[0]),
+        _i64p(caps), _i64p(labels),
+    )
+    return labels

@@ -89,6 +89,22 @@ def lpa_partition(
     if src.shape[0] == 0 or g <= 1:
         return labels
 
+    # Native path: async LPA in C++ (data/native.py; ~25x the synchronous
+    # numpy passes at 4M edges, and async moves strictly reduce the cut so
+    # it converges without snapshot bookkeeping). Includes the exact-caps
+    # repair. Falls through to numpy when the toolchain is unavailable.
+    soft = np.maximum(
+        caps, np.ceil(caps * (1.0 + float(slack))).astype(np.int64)
+    )
+    from relgat_projector_tpu.data.native import native_lpa_refine
+
+    refined = native_lpa_refine(
+        src, dst, n, caps, soft, labels, max_passes
+    )
+    if refined is not None:
+        assert np.array_equal(np.bincount(refined, minlength=g), caps)
+        return refined
+
     # Undirected incidence: each edge contributes to both endpoints' votes.
     u = np.concatenate([src, dst]).astype(np.int64)
     v = np.concatenate([dst, src]).astype(np.int64)
@@ -225,6 +241,12 @@ def bfs_grow_partition(
     caps = np.asarray(caps, np.int64)
     if src.shape[0] == 0 or g <= 1:
         return np.zeros(n, np.int64)
+
+    from relgat_projector_tpu.data.native import native_bfs_grow
+
+    grown = native_bfs_grow(src, dst, n, caps)
+    if grown is not None:
+        return grown
 
     # Undirected CSR adjacency.
     u = np.concatenate([src, dst]).astype(np.int64)

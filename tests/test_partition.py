@@ -213,3 +213,38 @@ def test_trainer_partitioned_halo_matches_relabeled_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
         )
+
+
+def test_native_lpa_matches_numpy_quality():
+    """The C++ async-LPA path (native/graphbuild.cpp) must deliver exact
+    caps and a cut no worse than ~the numpy synchronous fallback on the
+    shuffled-cluster case (async moves strictly reduce the cut, so it
+    usually does better)."""
+    import pytest
+
+    from relgat_projector_tpu.data import native as native_mod
+    from relgat_projector_tpu.data import partition as partition_mod
+
+    if native_mod.load_native() is None:
+        pytest.skip("native toolchain unavailable")
+
+    n, e, g = 8000, 64000, 8
+    src, dst = _clustered(n, e, g, cross=0.05)
+    shuf = np.random.default_rng(4).permutation(n)
+    src_s, dst_s = shuf[src], shuf[dst]
+    caps = np.full(g, n // g, np.int64)
+
+    native_labels = lpa_partition(src_s, dst_s, n, caps)
+    assert np.array_equal(np.bincount(native_labels, minlength=g), caps)
+
+    real = native_mod.native_lpa_refine
+    try:  # force the numpy fallback for the comparison run
+        native_mod.native_lpa_refine = lambda *a, **k: None
+        numpy_labels = partition_mod.lpa_partition(src_s, dst_s, n, caps)
+    finally:
+        native_mod.native_lpa_refine = real
+    assert np.array_equal(np.bincount(numpy_labels, minlength=g), caps)
+
+    cut_native = edge_cut_fraction(native_labels, src_s, dst_s)
+    cut_numpy = edge_cut_fraction(numpy_labels, src_s, dst_s)
+    assert cut_native <= cut_numpy * 1.3 + 0.02, (cut_native, cut_numpy)
