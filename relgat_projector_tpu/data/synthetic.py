@@ -54,7 +54,12 @@ def generate_synthetic_kg(
         ops = rng.choice(
             np.asarray([-1.0, 1.0], np.float32), size=(num_rel, emb_dim)
         ) * (0.5 + rng.random((num_rel, emb_dim)).astype(np.float32))
-        pool_size = min(256, num_nodes)
+        # Pool scales with the graph: a fixed 256-candidate pool is half of
+        # a 500-node graph (near-true nearest neighbor, strong structure)
+        # but 2.6% of a 10k-node one — the dst mapping degenerated toward
+        # noise exactly at BASELINE scale, which is why eval MRR pinned
+        # near random there for BOTH implementations (PARITY.md).
+        pool_size = min(max(256, num_nodes // 4), num_nodes)
         dst = np.empty(num_edges, dtype=np.int64)
         chunk = 4096
         for lo in range(0, num_edges, chunk):

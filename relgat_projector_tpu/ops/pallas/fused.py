@@ -60,11 +60,26 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _expand(a, heads: int, f: int):
-    # [X, H] -> [X, H*F] per-head-contiguous lane broadcast (VPU; the
-    # [X, H] @ [H, H*F] expansion-matmul variant measured slower). Shared
-    # by the forward and backward kernels so their lane layouts cannot
-    # drift apart.
+def _expand(a, heads: int, f: int, mxu_precision=None):
+    # [X, H] -> [X, H*F] per-head-contiguous lane broadcast. Two lowerings,
+    # chosen by MEASURED knockout profiling (BENCH_NOTES round 3):
+    # - default: VPU broadcast chain. An MXU expansion matmul at HIGHEST
+    #   costs ~2.2 ms/site (6 bf16 passes, K pads 4->128) to remove ~2.5 ms
+    #   of broadcasts — measured net-slower in every HIGHEST config and in
+    #   the forward (4 sites) at any precision.
+    # - ``mxu_precision=Precision.DEFAULT`` (backward, bf16 kernel mode):
+    #   ONE bf16 MXU pass per site; measured 11.79 -> 10.78 ms kernel-only
+    #   at 1M edges. The bf16 rounding of the expanded per-head scalars is
+    #   within the mode's documented error envelope.
+    if mxu_precision is not None:
+        hf = heads * f
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (heads, hf), 0)
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (heads, hf), 1) // f
+        em = (row_h == col_h).astype(jnp.float32)         # [H, H*F]
+        return jnp.dot(
+            a, em, preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )
     return jnp.concatenate(
         [jnp.broadcast_to(a[:, h:h + 1], (a.shape[0], f))
          for h in range(heads)], axis=1,
@@ -550,8 +565,16 @@ def _bwd_src_kernel(
         contrib = g_all + rel_att_all
         deps = ps_all
     else:
-        de_exp = _expand(de_all, heads, f)                # [TE, H*F]
-        contrib = _expand(aw_all, heads, f) * g_all + de_exp * rel_att_all
+        # bf16 kernel mode expands on the MXU (1 pass; measured faster);
+        # exact tiers keep the VPU broadcasts (see _expand).
+        exp_prec = (
+            hi if hi == jax.lax.Precision.DEFAULT else None
+        )
+        de_exp = _expand(de_all, heads, f, exp_prec)      # [TE, H*F]
+        contrib = (
+            _expand(aw_all, heads, f, exp_prec) * g_all
+            + de_exp * rel_att_all
+        )
         deps = de_exp * ps_all                            # [TE, H*F]
     if "dh" in ablate:
         partial = contrib[:td, :]  # keeps contrib live (no DCE), no matmul

@@ -228,6 +228,8 @@ def main():
                          "PARITY.md round-2 caveat)")
     ap.add_argument("--no-write", dest="write", action="store_false",
                     default=True, help="print only; don't rewrite PARITY.md")
+    ap.add_argument("--skip-torch", action="store_true",
+                    help="run only our side (protocol probing)")
     ap.add_argument("--tpu", action="store_true",
                     help="run our side on the TPU (default: CPU, like torch)")
     args = ap.parse_args()
@@ -244,14 +246,19 @@ def main():
         emb_dim=args.dim, seed=args.seed, self_loops=args.self_loops,
     )
 
-    print("== torch reference semantics ==")
-    t0 = time.time()
-    torch_curve = run_torch_reference(data, args, args.seed)
-    t_torch = time.time() - t0
+    if args.skip_torch:  # protocol probes: tune on ours before paying for
+        torch_curve, t_torch = [], 0.0  # the slow torch side
+    else:
+        print("== torch reference semantics ==")
+        t0 = time.time()
+        torch_curve = run_torch_reference(data, args, args.seed)
+        t_torch = time.time() - t0
     print("== ours (TPU framework) ==")
     t0 = time.time()
     ours_curve = run_ours(data, args, args.seed)
     t_ours = time.time() - t0
+    if args.skip_torch:
+        torch_curve = [(float("nan"),) * 4] * len(ours_curve)
 
     k = args.num_neg
     random_mrr = sum(1.0 / i for i in range(1, k + 2)) / (k + 1)

@@ -66,10 +66,42 @@ def main():
         "--only", default=None,
         help="comma-separated knockouts to run (default: all)",
     )
+    ap.add_argument(
+        "--expand-mxu", action="store_true",
+        help="swap the per-head VPU lane-broadcast _expand for a "
+             "[X, H] @ [H, H*F] one-hot MXU matmul (HIGHEST: exact) and "
+             "measure the whole kernel — the attribution says the VPU "
+             "expand costs ~5.3 ms while each converted matmul should "
+             "cost ~2.2 ms of MXU; this measures the actual trade.",
+    )
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.expand_mxu:
+        from relgat_projector_tpu.ops.pallas import fused as fused_mod
+
+        # The expansion dot rides the RUN's precision: 6-pass exact at
+        # HIGHEST (fp32 parity), 1-pass bf16 at DEFAULT (where the rest of
+        # the kernel already tolerates bf16 rounding).
+        _exp_prec = (
+            jax.lax.Precision.DEFAULT
+            if args.precision == "default"
+            else jax.lax.Precision.HIGHEST
+        )
+
+        def _expand_mxu(a, heads, f):
+            hf = heads * f
+            row_h = jax.lax.broadcasted_iota(jnp.int32, (heads, hf), 0)
+            col_h = jax.lax.broadcasted_iota(jnp.int32, (heads, hf), 1) // f
+            em = (row_h == col_h).astype(jnp.float32)     # [H, H*F]
+            return jnp.dot(
+                a, em, preferred_element_type=jnp.float32,
+                precision=_exp_prec,
+            )
+
+        fused_mod._expand = _expand_mxu
 
     import bench as B
     from relgat_projector_tpu.data.graph import build_graph
