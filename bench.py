@@ -334,8 +334,9 @@ def main():
                     help="MXU precision in the Pallas kernels (default=bf16)")
     ap.add_argument("--td", type=int, default=128,
                     help="dst-block rows in the blocked layout")
-    ap.add_argument("--te", type=int, default=256,
-                    help="edge-chunk size in the blocked layout")
+    ap.add_argument("--te", type=int, default=0,
+                    help="edge-chunk size in the blocked layout "
+                         "(0 = per-mode optimum: 256 exact, 768 bf16)")
     ap.add_argument("--steps-per-call", dest="steps_per_call", type=int,
                     default=8,
                     help="train steps per jitted dispatch (lax.scan), the "
@@ -369,7 +370,8 @@ def main():
 
     eps, spt = bench_jax(
         cfg_d, steps=args.steps, use_pallas=args.use_pallas,
-        kernel_precision=args.kernel_precision, td=args.td, te=args.te,
+        kernel_precision=args.kernel_precision, td=args.td,
+        te=args.te or (768 if args.kernel_precision == "default" else 256),
         steps_per_call=args.steps_per_call,
     )
     print(

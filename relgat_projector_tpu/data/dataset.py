@@ -53,6 +53,7 @@ class RelGATData:
         halo_overlap: bool = False,
         scan_segments: int = 0,
         partition_nodes: bool = False,
+        chunk_edges: int = 256,
     ):
         self.rel2idx = dict(rel2idx)
         self.num_rel = len(rel2idx)
@@ -145,6 +146,7 @@ class RelGATData:
             edge_pad_multiple=edge_pad_multiple,
             node_pad_multiple=node_pad_multiple,
             blocked=blocked,
+            chunk_edges=chunk_edges,
             graph_shards=graph_shards,
             halo_shards=halo_shards,
             halo_overlap=halo_overlap,

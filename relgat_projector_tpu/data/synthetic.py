@@ -23,6 +23,7 @@ def generate_synthetic_kg(
     seed: int = 0,
     structured: bool = True,
     self_loops: bool = False,
+    nn_pool: int = 0,
 ) -> Tuple[Dict[int, np.ndarray], Dict[str, int], List[Tuple[int, int, str]]]:
     """Returns ``(node2emb, rel2idx, triplets)`` in ingestion format.
 
@@ -59,16 +60,27 @@ def generate_synthetic_kg(
         # but 2.6% of a 10k-node one — the dst mapping degenerated toward
         # noise exactly at BASELINE scale, which is why eval MRR pinned
         # near random there for BOTH implementations (PARITY.md).
-        pool_size = min(max(256, num_nodes // 4), num_nodes)
+        # ``nn_pool`` overrides (``>= num_nodes`` selects the exact-NN
+        # branch, the cleanest structure the task can carry).
+        pool_size = (
+            min(int(nn_pool), num_nodes)
+            if nn_pool
+            else min(max(256, num_nodes // 4), num_nodes)
+        )
         dst = np.empty(num_edges, dtype=np.int64)
         chunk = 4096
         for lo in range(0, num_edges, chunk):
             hi = min(lo + chunk, num_edges)
             s, r = src[lo:hi], rel[lo:hi]
             target = ops[r] * emb[s]
-            cand = rng.integers(0, num_nodes, size=(hi - lo, pool_size))
-            sims = np.einsum("bpd,bd->bp", emb[cand], target)
-            dst[lo:hi] = cand[np.arange(hi - lo), np.argmax(sims, axis=1)]
+            if pool_size >= num_nodes:
+                # Exact nearest neighbor (one chunked matmul; the sampled
+                # einsum would materialize [chunk, n, d]).
+                dst[lo:hi] = np.argmax(target @ emb.T, axis=1)
+            else:
+                cand = rng.integers(0, num_nodes, size=(hi - lo, pool_size))
+                sims = np.einsum("bpd,bd->bp", emb[cand], target)
+                dst[lo:hi] = cand[np.arange(hi - lo), np.argmax(sims, axis=1)]
     else:
         dst = rng.integers(0, num_nodes, size=num_edges)
 

@@ -141,6 +141,16 @@ class RelGATTrainer:
             halo_overlap=halo_overlap,
             partition_nodes=run_config.model.partition_nodes,
             scan_segments=scan_segments,
+            # Measured layout optimum per kernel mode (BENCH_NOTES r2/r3
+            # sweeps): bf16 kernels halve per-chunk op cost, so the grid
+            # overhead share grows and bigger chunks win (TE=768: 34.4M vs
+            # 31.6M msg/s at TE=256 on the 1M-edge config); exact tiers
+            # keep TE=256.
+            chunk_edges=(
+                768
+                if run_config.model.kernel_precision == "default"
+                else 256
+            ),
         )
         self._use_halo = use_halo
 

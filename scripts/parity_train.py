@@ -230,6 +230,9 @@ def main():
                     default=True, help="print only; don't rewrite PARITY.md")
     ap.add_argument("--skip-torch", action="store_true",
                     help="run only our side (protocol probing)")
+    ap.add_argument("--exact-nn", action="store_true",
+                    help="exact nearest-neighbor dst targets (cleanest "
+                         "structure the synthetic task can carry)")
     ap.add_argument("--tpu", action="store_true",
                     help="run our side on the TPU (default: CPU, like torch)")
     args = ap.parse_args()
@@ -244,6 +247,7 @@ def main():
     data = generate_synthetic_kg(
         num_nodes=args.nodes, num_edges=args.edges, num_rel=args.rels,
         emb_dim=args.dim, seed=args.seed, self_loops=args.self_loops,
+        nn_pool=args.nodes if args.exact_nn else 0,
     )
 
     if args.skip_torch:  # protocol probes: tune on ours before paying for
