@@ -145,10 +145,15 @@ class RelGATTrainer:
             # sweeps): bf16 kernels halve per-chunk op cost, so the grid
             # overhead share grows and bigger chunks win (TE=768: 34.4M vs
             # 31.6M msg/s at TE=256 on the 1M-edge config); exact tiers
-            # keep TE=256.
+            # keep TE=256, and so do scanned layouts (per-SEGMENT chunk
+            # padding re-inflates with TE: 16M-edge scan_segments=16
+            # measured 2412 vs 2314 ms/step).
             chunk_edges=(
                 768
-                if run_config.model.kernel_precision == "default"
+                if (
+                    run_config.model.kernel_precision == "default"
+                    and scan_segments <= 1
+                )
                 else 256
             ),
         )

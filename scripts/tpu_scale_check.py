@@ -60,6 +60,15 @@ def main():
         num_nodes=n,
         blocked=True,
         scan_segments=args.scan_segments,
+        # Per-mode layout optimum (BENCH_NOTES round-3 sweep), matching
+        # the trainer's choice (scanned layouts stay at 256: per-segment
+        # chunk padding re-inflates with TE — measured 2412 vs 2314 ms/step
+        # at 16M edges / 16 segments).
+        chunk_edges=(
+            768
+            if args.kernel_precision == "default" and args.scan_segments <= 1
+            else 256
+        ),
     )
     print(f"layout build: {time.perf_counter() - t0:.1f}s")
     emb = rng.standard_normal((n, args.emb_dim)).astype(np.float32)
