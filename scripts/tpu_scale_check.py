@@ -34,6 +34,12 @@ def main():
                          "gather memory; ModelConfig.scan_segments)")
     ap.add_argument("--kernel-precision", default="highest",
                     choices=["highest", "high", "default"])
+    ap.add_argument("--skew", type=float, default=0.0,
+                    help="power-law dst-degree skew exponent (0 = uniform; "
+                         "~1 = WordNet-class heavy tail). Real KGs "
+                         "concentrate in-degree on hub nodes, which "
+                         "stresses per-block chunk counts in the blocked "
+                         "layout")
     args = ap.parse_args()
 
     import jax
@@ -52,10 +58,23 @@ def main():
     rng = np.random.default_rng(0)
     n, e = args.nodes, args.edges
     r = 40
+    if args.skew > 0:
+        # Zipf-ranked destination popularity: p(rank i) ∝ 1/(i+1)^skew,
+        # randomly assigned to node ids (so hubs land in arbitrary blocks).
+        w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), args.skew)
+        p = w / w.sum()
+        dst_e = rng.permutation(n)[
+            rng.choice(n, size=e, p=p)
+        ].astype(np.int32)
+        deg = np.bincount(dst_e, minlength=n)
+        print(f"skew={args.skew}: max in-degree {deg.max()} "
+              f"(uniform would be ~{e // n + 4})")
+    else:
+        dst_e = rng.integers(0, n, e).astype(np.int32)
     t0 = time.perf_counter()
     graph = build_graph(
         rng.integers(0, n, e).astype(np.int32),
-        rng.integers(0, n, e).astype(np.int32),
+        dst_e,
         rng.integers(0, r, e).astype(np.int32),
         num_nodes=n,
         blocked=True,
