@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--rel", type=int, default=12)
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--feat", type=int, default=64)
+    ap.add_argument("--te", type=int, default=256,
+                    help="blocked-layout chunk size (the bf16 production "
+                         "default is 768; different TE = different Mosaic "
+                         "BlockSpecs, so validate each)")
     ap.add_argument(
         "--precision", default="highest",
         choices=("highest", "high", "default"),
@@ -49,7 +53,7 @@ def main():
     src = rng.integers(0, n, e).astype(np.int32)
     dst = rng.integers(0, n, e).astype(np.int32)
     et = rng.integers(0, r, e).astype(np.int32)
-    g = build_graph(src, dst, et, n, blocked=True)
+    g = build_graph(src, dst, et, n, blocked=True, chunk_edges=args.te)
     n_pad = g.num_nodes
     h = jnp.asarray(rng.standard_normal((n_pad, heads, f)).astype(np.float32))
     attn = jnp.asarray(
