@@ -32,6 +32,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--kernel-precision", default="highest",
+                    choices=["highest", "default"])
     args = ap.parse_args()
 
     import jax
@@ -52,6 +54,7 @@ def main():
     src, dst, et, emb, bs, br, bd = B._make_inputs(cfg_d)
     graph = build_graph(
         src, dst, et, num_nodes=cfg_d["num_nodes"], blocked=True,
+        chunk_edges=768 if args.kernel_precision == "default" else 256,
     )
     node_emb = jnp.asarray(pad_node_embeddings(emb, graph.num_nodes))
     mcfg = ModelConfig(
@@ -60,6 +63,7 @@ def main():
         gat_num_layers=cfg_d["gat_num_layers"], dropout=0.0,
         project_to_input_size=True, projection_layers=2,
         scorer_type="distmult", use_pallas=True,
+        kernel_precision=args.kernel_precision,
     )
     tcfg = TrainConfig(
         train_batch_size=cfg_d["batch_size"], num_neg=cfg_d["num_neg"],
