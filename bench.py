@@ -332,8 +332,9 @@ def main():
     ap.add_argument("--kernel-precision", default="highest",
                     choices=["highest", "default"],
                     help="MXU precision in the Pallas kernels (default=bf16)")
-    ap.add_argument("--td", type=int, default=128,
-                    help="dst-block rows in the blocked layout")
+    ap.add_argument("--td", type=int, default=0,
+                    help="dst-block rows in the blocked layout "
+                         "(0 = per-mode optimum: 128 exact, 64 bf16)")
     ap.add_argument("--te", type=int, default=0,
                     help="edge-chunk size in the blocked layout "
                          "(0 = per-mode optimum: 256 exact, 768 bf16)")
@@ -370,7 +371,8 @@ def main():
 
     eps, spt = bench_jax(
         cfg_d, steps=args.steps, use_pallas=args.use_pallas,
-        kernel_precision=args.kernel_precision, td=args.td,
+        kernel_precision=args.kernel_precision,
+        td=args.td or (64 if args.kernel_precision == "default" else 128),
         te=args.te or (768 if args.kernel_precision == "default" else 256),
         steps_per_call=args.steps_per_call,
     )

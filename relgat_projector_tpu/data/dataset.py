@@ -54,6 +54,7 @@ class RelGATData:
         scan_segments: int = 0,
         partition_nodes: bool = False,
         chunk_edges: int = 256,
+        block_nodes: int = 128,
     ):
         self.rel2idx = dict(rel2idx)
         self.num_rel = len(rel2idx)
@@ -116,7 +117,8 @@ class RelGATData:
             )
 
             rows = halo_rows_per_shard(
-                self.num_nodes, halo_shards, blocked=blocked
+                self.num_nodes, halo_shards, blocked=blocked,
+                block_nodes=block_nodes,
             )
             perm, stats = partition_node_permutation(
                 self.train_edges[:, 0],
@@ -147,6 +149,7 @@ class RelGATData:
             node_pad_multiple=node_pad_multiple,
             blocked=blocked,
             chunk_edges=chunk_edges,
+            block_nodes=block_nodes,
             graph_shards=graph_shards,
             halo_shards=halo_shards,
             halo_overlap=halo_overlap,

@@ -143,11 +143,12 @@ class RelGATTrainer:
             scan_segments=scan_segments,
             # Measured layout optimum per kernel mode (BENCH_NOTES r2/r3
             # sweeps): bf16 kernels halve per-chunk op cost, so the grid
-            # overhead share grows and bigger chunks win (TE=768: 34.4M vs
-            # 31.6M msg/s at TE=256 on the 1M-edge config); exact tiers
-            # keep TE=256, and so do scanned layouts (per-SEGMENT chunk
-            # padding re-inflates with TE: 16M-edge scan_segments=16
-            # measured 2412 vs 2314 ms/step).
+            # overhead share grows and bigger chunks win — the bf16
+            # unscanned optimum is TD=64/TE=768 (35.4M vs 31.6M msg/s at
+            # TD=128/TE=256 on the 1M-edge config; TD=32 and TE>=1024
+            # cliff). Exact tiers keep TD=128/TE=256, and so do scanned
+            # layouts (per-SEGMENT chunk padding re-inflates with TE:
+            # 16M-edge scan_segments=16 measured 2412 vs 2314 ms/step).
             chunk_edges=(
                 768
                 if (
@@ -155,6 +156,14 @@ class RelGATTrainer:
                     and scan_segments <= 1
                 )
                 else 256
+            ),
+            block_nodes=(
+                64
+                if (
+                    run_config.model.kernel_precision == "default"
+                    and scan_segments <= 1
+                )
+                else 128
             ),
         )
         self._use_halo = use_halo

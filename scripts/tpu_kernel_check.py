@@ -28,6 +28,9 @@ def main():
                     help="blocked-layout chunk size (the bf16 production "
                          "default is 768; different TE = different Mosaic "
                          "BlockSpecs, so validate each)")
+    ap.add_argument("--td", type=int, default=128,
+                    help="blocked-layout dst-block rows (bf16 production "
+                         "default is 64)")
     ap.add_argument(
         "--precision", default="highest",
         choices=("highest", "high", "default"),
@@ -53,7 +56,8 @@ def main():
     src = rng.integers(0, n, e).astype(np.int32)
     dst = rng.integers(0, n, e).astype(np.int32)
     et = rng.integers(0, r, e).astype(np.int32)
-    g = build_graph(src, dst, et, n, blocked=True, chunk_edges=args.te)
+    g = build_graph(src, dst, et, n, blocked=True, chunk_edges=args.te,
+                    block_nodes=args.td)
     n_pad = g.num_nodes
     h = jnp.asarray(rng.standard_normal((n_pad, heads, f)).astype(np.float32))
     attn = jnp.asarray(
