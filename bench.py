@@ -198,30 +198,34 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
         # Best of 3 timing windows: single-window times through the remote
         # PJRT relay vary run-to-run by ~±10% (measured 16.3 vs 18.9M
         # msg/s on back-to-back identical runs); min-time over windows
-        # reports the machine, not the relay's weather.
-        elapsed = float("inf")
+        # reports the machine, not the relay's weather. All window times
+        # are returned so the JSON line carries the measured spread — a
+        # future regression is then distinguishable from relay weather.
+        windows = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(n_calls):
                 state, metrics = scan_fn(state, node_emb, graph, *sargs)
             float(metrics["loss"][-1])
-            elapsed = min(elapsed, time.perf_counter() - t0)
+            windows.append(time.perf_counter() - t0)
+        elapsed = min(windows)
         steps = n_calls * s
     else:
         step_fn = make_train_step(mcfg, tcfg, optimizer, schedule)
         for _ in range(warmup):
             state, metrics = step_fn(state, node_emb, graph, *args)
         float(metrics["loss"])
-        elapsed = float("inf")
+        windows = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, metrics = step_fn(state, node_emb, graph, *args)
             float(metrics["loss"])
-            elapsed = min(elapsed, time.perf_counter() - t0)
+            windows.append(time.perf_counter() - t0)
+        elapsed = min(windows)
 
     edge_messages = cfg_d["num_edges"] * cfg_d["gat_num_layers"] * steps
-    return edge_messages / elapsed, elapsed / steps
+    return edge_messages / elapsed, elapsed / steps, windows
 
 
 def bench_torch_reference(cfg_d, steps=3):
@@ -369,7 +373,7 @@ def main():
         with open(BASELINE_PATH, "w") as fh:
             json.dump(existing, fh, indent=2)
 
-    eps, spt = bench_jax(
+    eps, spt, windows = bench_jax(
         cfg_d, steps=args.steps, use_pallas=args.use_pallas,
         kernel_precision=args.kernel_precision,
         td=args.td or (64 if args.kernel_precision == "default" else 128),
@@ -383,6 +387,13 @@ def main():
                 "value": round(eps),
                 "unit": "edge-messages/s",
                 "vs_baseline": round(eps / baseline["edges_per_sec"], 2),
+                # Per-window wall times (best-of is the reported value):
+                # the spread separates code regressions from the remote
+                # relay's run-to-run weather (~±10% observed).
+                "windows_sec": [round(w, 3) for w in windows],
+                "window_spread_pct": round(
+                    100.0 * (max(windows) - min(windows)) / min(windows), 1
+                ),
             }
         )
     )

@@ -459,6 +459,25 @@ def partition_node_permutation(
     # Capacity enforcement guarantees every new id is a real-node id.
     assert perm.max() < n and perm.min() >= 0
 
+    # Multi-process agreement: the native C++ LPA core and the numpy
+    # fallback produce DIFFERENT (both deterministic) partitions, so
+    # heterogeneous native-library availability across hosts would yield
+    # divergent relabelings — and the halo exchange would silently mix
+    # mismatched node ids. Process 0's permutation is authoritative:
+    # broadcast it so every process relabels identically regardless of
+    # which algorithm path it ran locally.
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        perm = np.asarray(
+            multihost_utils.broadcast_one_to_all(perm.astype(np.int64))
+        )
+        # Recompute the logged cut from the authoritative permutation.
+        labels_bcast = np.minimum(perm // rows, g - 1)
+        cut_after = edge_cut_fraction(labels_bcast, src, dst)
+
     stats = {
         "edge_cut_before": cut_before,
         "edge_cut_after": cut_after,

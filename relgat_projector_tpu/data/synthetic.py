@@ -68,7 +68,16 @@ def generate_synthetic_kg(
             else min(max(256, num_nodes // 4), num_nodes)
         )
         dst = np.empty(num_edges, dtype=np.int64)
-        chunk = 4096
+        # Bound the per-chunk working set: the pooled branch materializes
+        # ``emb[cand]`` of shape [chunk, pool_size, emb_dim], so keep
+        # chunk * pool_size ~= 4096 * 256 (the original fixed-pool budget,
+        # ~0.8 GB at dim 200) no matter how pool_size scales with the graph
+        # — at 100k nodes the old fixed chunk was a ~26 GB OOM.
+        chunk = (
+            4096
+            if pool_size >= num_nodes
+            else max(64, (4096 * 256) // pool_size)
+        )
         for lo in range(0, num_edges, chunk):
             hi = min(lo + chunk, num_edges)
             s, r = src[lo:hi], rel[lo:hi]

@@ -537,10 +537,20 @@ class RelGATTrainer:
                 avg_loss = (
                     float(losses[finite].mean()) if finite.any() else 0.0
                 )
+
+                def wmean(key):
+                    # Window MEAN over the finite steps (skipped and
+                    # zero-weight tail steps carry garbage point values) —
+                    # the [-1] element alone made scanned logs needlessly
+                    # noisy at steps_per_call=8 while loss already window-
+                    # averaged.
+                    v = np.asarray(m[key])
+                    return float(v[finite].mean()) if finite.any() else 0.0
+
                 log = {
                     "epoch": epoch,
                     "train/loss_step": avg_loss,
-                    "train/grad_norm": float(np.asarray(m["grad_norm"])[-1]),
+                    "train/grad_norm": wmean("grad_norm"),
                     "train/lr": float(np.asarray(m["lr"])[-1]),
                     "train/step_time": window / steps_in_window,
                     "train/edges_per_sec": (
@@ -549,26 +559,18 @@ class RelGATTrainer:
                         * steps_in_window / window
                         if window > 0 else 0.0
                     ),
-                    "train/mrr": float(np.asarray(m["mrr"])[-1]),
-                    "train/pos_score_mean": float(
-                        np.asarray(m["pos_score_mean"])[-1]
-                    ),
-                    "train/neg_score_mean": float(
-                        np.asarray(m["neg_score_mean"])[-1]
-                    ),
+                    "train/mrr": wmean("mrr"),
+                    "train/pos_score_mean": wmean("pos_score_mean"),
+                    "train/neg_score_mean": wmean("neg_score_mean"),
                 }
                 if "cosine_pos" in m:
-                    log["train/cosine_pos"] = float(
-                        np.asarray(m["cosine_pos"])[-1]
-                    )
-                    log["train/cosine_neg"] = float(
-                        np.asarray(m["cosine_neg"])[-1]
-                    )
-                    log["train/mse"] = float(np.asarray(m["mse"])[-1])
+                    log["train/cosine_pos"] = wmean("cosine_pos")
+                    log["train/cosine_neg"] = wmean("cosine_neg")
+                    log["train/mse"] = wmean("mse")
                 for k in self.eval_ks_ranks:
                     key = f"hits@{k}"
                     if key in m:
-                        log[f"train/{key}"] = float(np.asarray(m[key])[-1])
+                        log[f"train/{key}"] = wmean(key)
                 nfs = int(np.asarray(m["nonfinite_scores"]).sum())
                 if nfs:
                     log["train/nonfinite_scores"] = nfs

@@ -237,6 +237,13 @@ def main():
                     help="run our side on the TPU (default: CPU, like torch)")
     args = ap.parse_args()
 
+    if args.skip_torch and args.write:
+        # A protocol probe must never clobber the recorded parity evidence
+        # with a NaN torch column.
+        print("--skip-torch: forcing --no-write (probe runs don't rewrite "
+              "PARITY.md)")
+        args.write = False
+
     if not args.tpu:
         import jax
 

@@ -91,7 +91,10 @@ def main():
             else jax.lax.Precision.HIGHEST
         )
 
-        def _expand_mxu(a, heads, f):
+        def _expand_mxu(a, heads, f, mxu_precision=None):
+            # 4th arg matches fused._expand's signature (fused.py passes an
+            # explicit per-call precision in the backward); this monkeypatch
+            # deliberately pins the run-level precision instead.
             hf = heads * f
             row_h = jax.lax.broadcasted_iota(jnp.int32, (heads, hf), 0)
             col_h = jax.lax.broadcasted_iota(jnp.int32, (heads, hf), 1) // f

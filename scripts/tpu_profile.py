@@ -55,6 +55,9 @@ def main():
     graph = build_graph(
         src, dst, et, num_nodes=cfg_d["num_nodes"], blocked=True,
         chunk_edges=768 if args.kernel_precision == "default" else 256,
+        # Mirror trainer.py's per-mode TD choice (bf16 unscanned: TD=64) so
+        # the profile measures the layout the trainer actually runs.
+        block_nodes=64 if args.kernel_precision == "default" else 128,
     )
     node_emb = jnp.asarray(pad_node_embeddings(emb, graph.num_nodes))
     mcfg = ModelConfig(

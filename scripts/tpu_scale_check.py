@@ -88,6 +88,11 @@ def main():
             if args.kernel_precision == "default" and args.scan_segments <= 1
             else 256
         ),
+        block_nodes=(
+            64
+            if args.kernel_precision == "default" and args.scan_segments <= 1
+            else 128
+        ),
     )
     print(f"layout build: {time.perf_counter() - t0:.1f}s")
     emb = rng.standard_normal((n, args.emb_dim)).astype(np.float32)

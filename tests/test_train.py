@@ -159,6 +159,36 @@ def test_scanned_logging_block_executes(tmp_path, capsys):
         assert key in out, key
 
 
+def test_scanned_point_metrics_are_window_means(tmp_path):
+    """Scanned-mode logs report window MEANS over the finite steps for the
+    point metrics (mrr/grad_norm/hits), not the [-1] element (VERDICT r3
+    weak 5)."""
+    tr = _tiny_trainer(tmp_path, epochs=1, steps_per_call=4,
+                       log_every_n_steps=4)
+    real = tr._scan_step
+
+    def wrapped(state, node_emb, graph, *stacked):
+        state, m = real(state, node_emb, graph, *stacked)
+        m = dict(m)
+        # Known stacked values; last step marked non-finite, so the mean
+        # must cover exactly the first three and ignore the 99s.
+        m["finite"] = jnp.asarray([True, True, True, False])
+        m["mrr"] = jnp.asarray([0.2, 0.4, 0.6, 99.0])
+        m["grad_norm"] = jnp.asarray([1.0, 2.0, 3.0, 99.0])
+        return state, m
+
+    tr._scan_step = wrapped
+    logged = []
+    tr.log_adapter.log_metrics = (
+        lambda metrics, step: logged.append(metrics)
+    )
+    tr._single_epoch(1, 1)
+    rows = [m for m in logged if "train/mrr" in m]
+    assert rows, "scanned epoch logged no train metrics"
+    np.testing.assert_allclose(rows[0]["train/mrr"], 0.4, rtol=1e-6)
+    np.testing.assert_allclose(rows[0]["train/grad_norm"], 2.0, rtol=1e-6)
+
+
 def test_resume_after_scanned_training(tmp_path):
     """Scanned trainer saves a resumable state; a per-step trainer can pick
     it up (dispatch modes are interchangeable)."""
