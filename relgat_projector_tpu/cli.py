@@ -113,6 +113,11 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--synthetic-edges", type=int, default=100_000)
     p.add_argument("--synthetic-rels", type=int, default=8)
     p.add_argument("--synthetic-dim", type=int, default=200)
+    p.add_argument("--synthetic-nn-pool", dest="synthetic_nn_pool",
+                   type=int, default=0,
+                   help="candidate-pool size for the structured dst "
+                        "mapping (0 = auto ~n/4; small values bound the "
+                        "host-side generation cost at production dims)")
 
     # Training process
     p.add_argument("--train-ratio", type=float,
@@ -373,6 +378,7 @@ def main(argv=None) -> None:
             num_rel=args.synthetic_rels,
             emb_dim=args.synthetic_dim,
             seed=args.seed,
+            nn_pool=args.synthetic_nn_pool,
         )
     else:
         if not (

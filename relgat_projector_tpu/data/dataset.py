@@ -55,6 +55,7 @@ class RelGATData:
         partition_nodes: bool = False,
         chunk_edges: int = 256,
         block_nodes: int = 128,
+        materialize_features: bool = True,
     ):
         self.rel2idx = dict(rel2idx)
         self.num_rel = len(rel2idx)
@@ -66,10 +67,26 @@ class RelGATData:
         self.id2idx = {nid: i for i, nid in enumerate(self.all_node_ids)}
         self.num_nodes = len(self.all_node_ids)
 
-        emb = np.stack(
-            [np.asarray(node2emb[nid], dtype=np.float32) for nid in self.all_node_ids]
+        # ``materialize_features=False`` (multi-process halo training): the
+        # full [N, D] matrix is NEVER stacked host-side — each process later
+        # materializes exactly the row ranges of its addressable feature
+        # shards through :meth:`feature_rows` (SURVEY §5.8: per-process
+        # shard construction; on real multi-host fleets the [N, D] stack is
+        # the one thing that cannot be replicated per host).
+        self._materialize = bool(materialize_features)
+        self._node2emb = None if self._materialize else node2emb
+        self.features_materialized_rows = 0
+        self.emb_dim = int(
+            np.asarray(node2emb[self.all_node_ids[0]]).shape[-1]
         )
-        self.emb_dim = emb.shape[1]
+        emb = None
+        if self._materialize:
+            emb = np.stack(
+                [
+                    np.asarray(node2emb[nid], dtype=np.float32)
+                    for nid in self.all_node_ids
+                ]
+            )
 
         # Map triplets onto compact indices and integer relation ids.
         def _rel_id(r):
@@ -129,7 +146,8 @@ class RelGATData:
             )
             self.node_perm = perm
             self.partition_stats = stats
-            emb = emb[np.argsort(perm)]  # row new_id holds old node's emb
+            if emb is not None:
+                emb = emb[np.argsort(perm)]  # row new_id = old node's emb
             for arr in (self.train_edges, self.eval_edges):
                 arr[:, 0] = perm[arr[:, 0]]
                 arr[:, 1] = perm[arr[:, 1]]
@@ -155,10 +173,45 @@ class RelGATData:
             halo_overlap=halo_overlap,
             scan_segments=scan_segments,
         )
-        # Frozen embeddings padded to the graph's node count.
-        self.node_emb = pad_node_embeddings(emb, self.graph.num_nodes)
+        # Frozen embeddings padded to the graph's node count (None in
+        # deferred-feature mode — consumers go through feature_rows).
+        self.node_emb = (
+            pad_node_embeddings(emb, self.graph.num_nodes)
+            if emb is not None
+            else None
+        )
 
         self._epoch_rng = np.random.default_rng(self.seed + 1)
+
+    def feature_rows(self, lo: int, hi: int) -> np.ndarray:
+        """Materialize embedding rows ``[lo, hi)`` of the (relabeled,
+        padded) feature matrix — the per-process shard loader for
+        multi-host halo training. Rows past ``num_nodes`` are padding
+        zeros; with a partition permutation active, row ``new_id`` holds
+        the embedding of the node relabeled to ``new_id``. Tracks how many
+        rows this process ever materialized
+        (``features_materialized_rows``) so tests can assert a process
+        never builds the full matrix."""
+        lo, hi = int(lo), int(hi)
+        out = np.zeros((hi - lo, self.emb_dim), np.float32)
+        n_real = min(hi, self.num_nodes) - lo
+        if n_real > 0:
+            if self._materialize:
+                out[:n_real] = self.node_emb[lo : lo + n_real]
+            else:
+                new_ids = np.arange(lo, lo + n_real)
+                old_ids = (
+                    np.argsort(self.node_perm)[new_ids]
+                    if self.node_perm is not None
+                    else new_ids
+                )
+                for i, o in enumerate(old_ids):
+                    out[i] = np.asarray(
+                        self._node2emb[self.all_node_ids[int(o)]],
+                        np.float32,
+                    )
+        self.features_materialized_rows += hi - lo
+        return out
 
     @property
     def num_train(self) -> int:

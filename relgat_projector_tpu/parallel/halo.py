@@ -387,11 +387,13 @@ def build_halo_graph(
 
 def place_halo_graph(mesh: Mesh, hg: HaloGraph) -> HaloGraph:
     """Attach the mesh and put every per-shard leaf on its ``graph``-axis
-    row (replicated across ``data``)."""
-    sharding = NamedSharding(mesh, P(GRAPH_AXIS))
+    row (replicated across ``data``). Multi-process safe: each process
+    uploads only its addressable shards of the [G, ...] stacks
+    (``put_global``)."""
+    from relgat_projector_tpu.parallel.sharded import put_global
 
     def put(x):
-        return jax.device_put(x, sharding)
+        return put_global(mesh, x, P(GRAPH_AXIS))
 
     # Every array leaf (incl. the blocked layouts and the overlap split)
     # is stacked [G, ...]; static fields survive the tree_map untouched.

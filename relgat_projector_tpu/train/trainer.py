@@ -57,6 +57,16 @@ class RelGATTrainer:
     ):
         tc = run_config.train
 
+        # Multi-process (multi-host) awareness: when ``jax.distributed`` is
+        # initialized across 2+ processes, each process must (a) construct
+        # only ITS feature shards, (b) write checkpoints/logs only on the
+        # primary, (c) barrier on resume. Single-process runs are entirely
+        # unaffected (SURVEY §5.8).
+        self._multiprocess = jax.process_count() > 1
+        from relgat_projector_tpu.parallel.distributed import is_primary
+
+        self._is_primary = (not self._multiprocess) or is_primary()
+
         # Seed first so the split is reproducible (reference ``trainer:97-99``).
         self.seeder = RandomSeed(tc.seed)
 
@@ -165,6 +175,10 @@ class RelGATTrainer:
                 )
                 else 128
             ),
+            # Multi-process halo training: never stack the full [N, D]
+            # feature matrix on any host — each process materializes only
+            # its graph-shard row ranges via dataset.feature_rows below.
+            materialize_features=not (self._multiprocess and use_halo),
         )
         self._use_halo = use_halo
 
@@ -199,8 +213,10 @@ class RelGATTrainer:
             architecture_name=run_config.architecture_name,
             base_model_name=run_config.base_model_name,
             log_every_n_steps=tc.log_every_n_steps,
-            log_to_wandb=log_to_wandb,
-            log_to_console=log_to_console,
+            # Non-primary processes stay silent (one W&B run, one console
+            # stream per job).
+            log_to_wandb=log_to_wandb and self._is_primary,
+            log_to_console=log_to_console and self._is_primary,
             run_config=self.run_config.to_dict(),
         )
 
@@ -214,7 +230,11 @@ class RelGATTrainer:
             params, self.optimizer, train_key
         )
 
-        self.node_emb = jnp.asarray(self.dataset.node_emb)
+        self.node_emb = (
+            jnp.asarray(self.dataset.node_emb)
+            if self.dataset.node_emb is not None
+            else None  # deferred: built sharded under the mesh below
+        )
         self.graph = self.dataset.graph
 
         # Multi-chip placement (GSPMD path): DP over the batch on the 'data'
@@ -251,11 +271,34 @@ class RelGATTrainer:
             # Halo mode keeps node features SHARDED over the graph axis
             # end-to-end (boundary-only exchange per layer); otherwise the
             # feature matrix is replicated.
-            if self._use_halo:
+            if self.node_emb is None:
+                # Deferred multi-process path: assemble the global sharded
+                # feature matrix straight from per-row-range loads — this
+                # process materializes ONLY its addressable shards' rows
+                # (never the full [N, D] matrix).
+                from jax.sharding import PartitionSpec
+                from relgat_projector_tpu.parallel.mesh import GRAPH_AXIS
+                from relgat_projector_tpu.parallel.sharded import (
+                    make_global_from_row_loader,
+                )
+
+                self.node_emb = make_global_from_row_loader(
+                    self.mesh,
+                    (self.graph.num_nodes, self.dataset.emb_dim),
+                    np.float32,
+                    PartitionSpec(GRAPH_AXIS),
+                    self.dataset.feature_rows,
+                )
+            elif self._use_halo:
                 self.node_emb = place_node_features(self.mesh, self.node_emb)
             else:
                 self.node_emb = place_replicated(self.mesh, self.node_emb)
             self.graph = place_graph(self.mesh, self.graph)
+        elif self.node_emb is None:
+            # Deferred features require a mesh; fall back to materializing.
+            self.node_emb = jnp.asarray(
+                self.dataset.feature_rows(0, self.graph.num_nodes)
+            )
 
         self.steps_per_call = max(1, int(tc.steps_per_call))
         self._train_step = make_train_step(
@@ -302,28 +345,53 @@ class RelGATTrainer:
         self.log_adapter.init_wandb_if_needed()
 
     def _device_batch(self, batch: Batch):
-        arrays = (
+        if self.mesh is not None:
+            from relgat_projector_tpu.parallel import place_batch
+
+            # place_batch is multi-process safe (host numpy in, global
+            # sharded arrays out); no intermediate local device_put.
+            return place_batch(
+                self.mesh, batch.src, batch.rel, batch.dst, batch.weight
+            )
+        return (
             jnp.asarray(batch.src),
             jnp.asarray(batch.rel),
             jnp.asarray(batch.dst),
             jnp.asarray(batch.weight),
         )
-        if self.mesh is not None:
-            from relgat_projector_tpu.parallel import place_batch
-
-            arrays = place_batch(self.mesh, *arrays)
-        return arrays
 
     # ------------------------------------------------------------------
     # Resume
     # ------------------------------------------------------------------
     def maybe_resume(self, ckpt_dir: Optional[str] = None) -> bool:
         """Restore full train state from ``ckpt_dir`` (or the newest
-        resumable checkpoint under ``out_dir``). Returns True if resumed."""
+        resumable checkpoint under ``out_dir``). Returns True if resumed.
+
+        Multi-process: barriers first (so a primary still flushing its
+        final async write can't race the readers), then verifies every
+        process picked the SAME checkpoint step — divergent filesystem
+        views would otherwise silently train from mixed states."""
+        if self._multiprocess:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("relgat:resume")
         target = ckpt_dir or self.storage.latest_resumable()
+        if self._multiprocess:
+            # Same collective on every process regardless of outcome (a
+            # conditional gather would deadlock on disagreement).
+            self._assert_processes_agree(
+                "resume_target_found", float(target is not None)
+            )
         if target is None:
             return False
         self.state = self.storage.load_checkpoint(target, self.state)
+        if self.mesh is not None:
+            # Loaded leaves are host arrays; re-establish the replicated
+            # global placement (multi-process safe) before the donated
+            # jitted step consumes the state.
+            from relgat_projector_tpu.parallel import place_replicated
+
+            self.state = place_replicated(self.mesh, self.state)
         self.global_step = int(self.state.step)
         self.dispatch_step = self.global_step
         # Restore the LOOP state too (best metric, early-stop counter,
@@ -338,8 +406,27 @@ class RelGATTrainer:
             self.best_ckpt_dir = loop.get("best_ckpt_dir")
             if loop.get("dispatch_step") is not None:
                 self.dispatch_step = int(loop["dispatch_step"])
-        print(f"Resumed from {target} at step {self.global_step}")
+        if self._multiprocess:
+            self._assert_processes_agree(
+                "resume_step", float(self.global_step) + 1.0
+            )
+        if self._is_primary:
+            print(f"Resumed from {target} at step {self.global_step}")
         return True
+
+    def _assert_processes_agree(self, what: str, value: float) -> None:
+        """Fail hard if ``value`` differs across processes (e.g. two hosts
+        resolved different resume checkpoints)."""
+        from jax.experimental import multihost_utils
+
+        got = np.asarray(
+            multihost_utils.process_allgather(np.float64(value))
+        ).reshape(-1)
+        if not np.all(got == got[0]):
+            raise RuntimeError(
+                f"multi-process disagreement on {what}: "
+                f"process values {got.tolist()}"
+            )
 
     # ------------------------------------------------------------------
     # Evaluation (reference ``trainer:275-376``)
@@ -440,7 +527,8 @@ class RelGATTrainer:
 
         out_model_dir = self._save_checkpoint(subdir=None)
         self.storage.wait_for_writes()
-        print(f"\nTraining finished - model saved to: {out_model_dir}")
+        if self._is_primary:
+            print(f"\nTraining finished - model saved to: {out_model_dir}")
         self.log_adapter.finish_wandb_if_needed()
         return out_model_dir
 
@@ -581,11 +669,12 @@ class RelGATTrainer:
                 # skipped steps don't count) — display only; cadence stays
                 # on dispatch_step, so skips cannot drift it.
                 self.global_step = int(self.state.step)
-                print(
-                    f"\nGlobal step {self.global_step} "
-                    f"loss_step: {avg_loss:.8f} "
-                    f"lr: {log['train/lr']:.8f}"
-                )
+                if self._is_primary:
+                    print(
+                        f"\nGlobal step {self.global_step} "
+                        f"loss_step: {avg_loss:.8f} "
+                        f"lr: {log['train/lr']:.8f}"
+                    )
                 self.log_adapter.log_metrics(metrics=log, step=self.global_step)
 
             if (
@@ -655,13 +744,14 @@ class RelGATTrainer:
         if nfs:
             log["train/nonfinite_scores"] = nfs
 
-        print(
-            f"\nGlobal step {self.global_step} "
-            f"grad_norm {log['train/grad_norm']:.8f} "
-            f"loss_step: {avg_running_loss:.8f} "
-            f"lr: {log['train/lr']:.8f} "
-            f"step_time {step_time}"
-        )
+        if self._is_primary:
+            print(
+                f"\nGlobal step {self.global_step} "
+                f"grad_norm {log['train/grad_norm']:.8f} "
+                f"loss_step: {avg_running_loss:.8f} "
+                f"lr: {log['train/lr']:.8f} "
+                f"step_time {step_time}"
+            )
         self.log_adapter.log_metrics(metrics=log, step=self.global_step)
         # Reconcile with the device's finite-step counter.
         self.global_step = int(self.state.step)
@@ -766,6 +856,11 @@ class RelGATTrainer:
                 f"scorer-{self.model_cfg.scorer_type}_"
                 f"lrscheduler-{self.train_cfg.lr_scheduler}"
             )
+        if not self._is_primary:
+            # Exactly one writer per job: non-primary processes skip the
+            # write (N processes racing the same dirs corrupts checkpoints)
+            # but return the same path so loop bookkeeping stays aligned.
+            return str(self.storage.save_dir / subdir)
         return self.storage.save_checkpoint(
             subdir=subdir,
             state=self.state,

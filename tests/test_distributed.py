@@ -201,3 +201,171 @@ def test_two_process_halo_exchange():
         out, _ = p.communicate(timeout=300)
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"RANK{rank}_HALO_OK" in out, out
+
+
+_TRAINER_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from relgat_projector_tpu.parallel import initialize_distributed
+
+coord, rank, phase, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+initialize_distributed(coordinator_address=coord, num_processes=2,
+                       process_id=rank)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+import numpy as np
+from relgat_projector_tpu.config import (
+    MeshConfig, ModelConfig, RunConfig, TrainConfig,
+)
+from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+node2emb, rel2idx, triplets = generate_synthetic_kg(
+    num_nodes=160, num_edges=1600, num_rel=4, emb_dim=16, seed=0
+)
+run = RunConfig(
+    model=ModelConfig(
+        in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+        gat_num_layers=2, dropout=0.0, project_to_input_size=True,
+        projection_layers=1, use_pallas=False, mesh_propagate="halo",
+    ),
+    train=TrainConfig(
+        epochs=1, train_batch_size=64, eval_batch_size=64, num_neg=4,
+        lr=1e-3, lr_scheduler="constant", warmup_steps=0,
+        eval_ks_ranks=(1, 2), seed=3, log_every_n_steps=10_000,
+        out_dir=out_dir,
+    ),
+    mesh=MeshConfig(data_axis=1, graph_axis=8),
+)
+trainer = RelGATTrainer(run, node2emb, rel2idx, triplets,
+                        log_to_console=False)
+assert trainer._multiprocess and trainer._is_primary == (rank == 0)
+# Per-process shard construction: the full [N, D] feature matrix was NEVER
+# stacked host-side; only this process's addressable graph-shard rows were.
+assert trainer.dataset.node_emb is None
+rows = trainer.dataset.features_materialized_rows
+assert 0 < rows < trainer.dataset.num_nodes, (
+    rows, trainer.dataset.num_nodes)
+
+# Count actual storage writes to prove single-writer gating.
+writes = []
+_orig = trainer.storage.save_checkpoint
+trainer.storage.save_checkpoint = (
+    lambda *a, **k: (writes.append(1), _orig(*a, **k))[1]
+)
+
+if phase == "resume":
+    assert trainer.maybe_resume(), "no resumable checkpoint found"
+    assert trainer.global_step > 0
+
+trainer.train(epochs=1)
+assert (len(writes) > 0) == (rank == 0), (rank, writes)
+
+mrr, hits, loss, *_ = trainer.evaluate()
+fp = float(sum(
+    np.abs(np.asarray(l)).sum()
+    for l in jax.tree_util.tree_leaves(trainer.state.params)
+))
+print(f"RANK{rank}_TRAIN_OK phase={phase} step={trainer.global_step} "
+      f"mrr={mrr:.6f} loss={loss:.6f} fp={fp:.5f} rows={rows}")
+"""
+
+
+def _run_trainer_pair(phase: str, out_dir: str) -> str:
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TRAINER_WORKER, coord, str(rank),
+             phase, out_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for rank, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"RANK{rank}_TRAIN_OK phase={phase}" in out, out
+    return outs[0]
+
+
+def _parse_result(out: str, phase: str) -> dict:
+    line = next(
+        ln for ln in out.splitlines() if f"TRAIN_OK phase={phase}" in ln
+    )
+    kv = dict(tok.split("=") for tok in line.split()[1:])
+    return {k: float(v) for k, v in kv.items() if k != "phase"}
+
+
+def test_two_process_trainer_end_to_end(tmp_path):
+    """VERDICT r3 #1: `RelGATTrainer` as 2 real OS processes — train ->
+    checkpoint -> (processes die) -> resume in FRESH processes -> finish —
+    matching the single-process trainer's numerics, with each process
+    materializing only its feature shards (never the full [N, D] matrix)."""
+    out_dir = str(tmp_path / "mp-ckpt")
+
+    got_a = _parse_result(_run_trainer_pair("fresh", out_dir), "fresh")
+    # The first pair exited; a brand-new pair resumes from its checkpoint.
+    got_b = _parse_result(_run_trainer_pair("resume", out_dir), "resume")
+    assert got_b["step"] > got_a["step"]
+
+    # Single-process ground truth: identical config on the local 8-device
+    # mesh, same train -> final-save -> fresh-trainer-resume -> train
+    # sequence. Numerics must match the 2-process run.
+    from relgat_projector_tpu.config import (
+        MeshConfig, ModelConfig, RunConfig, TrainConfig,
+    )
+    from relgat_projector_tpu.data.synthetic import generate_synthetic_kg
+    from relgat_projector_tpu.train.trainer import RelGATTrainer
+
+    node2emb, rel2idx, triplets = generate_synthetic_kg(
+        num_nodes=160, num_edges=1600, num_rel=4, emb_dim=16, seed=0
+    )
+
+    def build():
+        run = RunConfig(
+            model=ModelConfig(
+                in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
+                gat_num_layers=2, dropout=0.0, project_to_input_size=True,
+                projection_layers=1, use_pallas=False,
+                mesh_propagate="halo",
+            ),
+            train=TrainConfig(
+                epochs=1, train_batch_size=64, eval_batch_size=64,
+                num_neg=4, lr=1e-3, lr_scheduler="constant",
+                warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
+                log_every_n_steps=10_000,
+                out_dir=str(tmp_path / "sp-ckpt"),
+            ),
+            mesh=MeshConfig(data_axis=1, graph_axis=8),
+        )
+        return RelGATTrainer(
+            run, node2emb, rel2idx, triplets, log_to_console=False
+        )
+
+    t = build()
+    t.train(epochs=1)
+    t2 = build()
+    assert t2.maybe_resume()
+    t2.train(epochs=1)
+    mrr, hits, loss, *_ = t2.evaluate()
+    fp = float(sum(
+        np.abs(np.asarray(l)).sum()
+        for l in __import__("jax").tree_util.tree_leaves(t2.state.params)
+    ))
+    np.testing.assert_allclose(got_b["loss"], loss, rtol=1e-4)
+    np.testing.assert_allclose(got_b["mrr"], mrr, rtol=1e-3)
+    np.testing.assert_allclose(got_b["fp"], fp, rtol=1e-4)
