@@ -52,6 +52,8 @@ def _config_file_defaults(run_cfg: RunConfig) -> dict:
         compute_dtype=m.compute_dtype,
         use_pallas=m.use_pallas,
         kernel_precision=m.kernel_precision,
+        block_nodes=m.block_nodes,
+        chunk_edges=m.chunk_edges,
         remat=m.remat,
         scan_segments=m.scan_segments,
         mesh_propagate=m.mesh_propagate,
@@ -200,6 +202,11 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="MXU precision inside the Pallas kernels: 'highest' "
                         "= fp32-accurate (3-pass), 'default' = 1-pass bf16. "
                         "Mosaic has no intermediate tier.")
+    p.add_argument("--block-nodes", dest="block_nodes", type=int, default=0,
+                   help="blocked-layout dst rows per block (TD); 0 = "
+                        "auto-tune from the graph's degree distribution")
+    p.add_argument("--chunk-edges", dest="chunk_edges", type=int, default=0,
+                   help="blocked-layout edges per chunk (TE); 0 = auto-tune")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each GAT layer (memory for compute)")
     p.add_argument("--scan-segments", dest="scan_segments", type=int,
@@ -303,6 +310,8 @@ def build_run_config(args: argparse.Namespace) -> RunConfig:
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         kernel_precision=args.kernel_precision,
+        block_nodes=args.block_nodes,
+        chunk_edges=args.chunk_edges,
         remat=args.remat,
         scan_segments=args.scan_segments,
         mesh_propagate=args.mesh_propagate,

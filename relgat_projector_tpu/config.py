@@ -85,6 +85,9 @@ class ModelConfig:
     use_pallas: bool = False       # fused Pallas segment kernels for the hot path
     remat: bool = False            # jax.checkpoint each GAT layer (trade
     # recompute for the all-N activation memory of full-graph backward)
+    block_nodes: int = 0           # blocked-layout TD (0 = auto-tune from
+    # the graph's degree distribution, data/layout_tuner.py)
+    chunk_edges: int = 0           # blocked-layout TE (0 = auto-tune)
     kernel_precision: str = "highest"  # Pallas MXU passes: "highest"
     # (fp32-exact, reference parity) | "default" (1-pass bf16). Mosaic has
     # no intermediate tier; a legacy "high" value is accepted as an alias

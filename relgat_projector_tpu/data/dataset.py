@@ -53,8 +53,10 @@ class RelGATData:
         halo_overlap: bool = False,
         scan_segments: int = 0,
         partition_nodes: bool = False,
-        chunk_edges: int = 256,
-        block_nodes: int = 128,
+        chunk_edges: Optional[int] = 256,
+        block_nodes: Optional[int] = 128,
+        kernel_precision: str = "highest",
+        heads_features: Optional[int] = None,
         materialize_features: bool = True,
     ):
         self.rel2idx = dict(rel2idx)
@@ -115,6 +117,41 @@ class RelGATData:
             f" - eval: {len(self.eval_edges)} "
             f"({100 - self.train_ratio * 100:.1f} %)"
         )
+
+        # Blocked-layout auto-tuning (``data/layout_tuner.py``): with
+        # ``chunk_edges``/``block_nodes`` = None, (TD, TE) are picked from
+        # THIS graph's measured degree distribution via the calibrated cost
+        # model — the optimum is degree-specific (BENCH_NOTES TD/TE
+        # sweeps), so hardcoded constants under-train non-uniform KGs.
+        # Runs on the pre-partition labeling (the relabel below needs the
+        # tuned TD for its row alignment; the permutation only mildly
+        # shifts the per-block degree histogram).
+        self.layout_choice = None
+        if blocked and (chunk_edges is None or block_nodes is None):
+            from relgat_projector_tpu.data.layout_tuner import pick_layout
+
+            choice = pick_layout(
+                self.train_edges[:, 0],
+                self.train_edges[:, 1],
+                self.num_nodes,
+                kernel_precision=kernel_precision,
+                scanned=scan_segments > 1,
+                heads_features=heads_features,
+                num_rel=self.num_rel,
+            )
+            self.layout_choice = choice
+            if chunk_edges is None:
+                chunk_edges = choice.chunk_edges
+            if block_nodes is None:
+                block_nodes = choice.block_nodes
+            print(
+                f"Auto-tuned blocked layout: TD={block_nodes} "
+                f"TE={chunk_edges} ({choice.reason}, modeled "
+                f"{choice.predicted_ms:.1f} ms bench-class step)"
+            )
+        else:
+            chunk_edges = 256 if chunk_edges is None else chunk_edges
+            block_nodes = 128 if block_nodes is None else block_nodes
 
         # Optional min-cut relabeling for the halo path
         # (``data/partition.py``): cluster nodes by train-edge structure and

@@ -151,29 +151,18 @@ class RelGATTrainer:
             halo_overlap=halo_overlap,
             partition_nodes=run_config.model.partition_nodes,
             scan_segments=scan_segments,
-            # Measured layout optimum per kernel mode (BENCH_NOTES r2/r3
-            # sweeps): bf16 kernels halve per-chunk op cost, so the grid
-            # overhead share grows and bigger chunks win — the bf16
-            # unscanned optimum is TD=64/TE=768 (35.4M vs 31.6M msg/s at
-            # TD=128/TE=256 on the 1M-edge config; TD=32 and TE>=1024
-            # cliff). Exact tiers keep TD=128/TE=256, and so do scanned
-            # layouts (per-SEGMENT chunk padding re-inflates with TE:
-            # 16M-edge scan_segments=16 measured 2412 vs 2314 ms/step).
-            chunk_edges=(
-                768
-                if (
-                    run_config.model.kernel_precision == "default"
-                    and scan_segments <= 1
-                )
-                else 256
-            ),
-            block_nodes=(
-                64
-                if (
-                    run_config.model.kernel_precision == "default"
-                    and scan_segments <= 1
-                )
-                else 128
+            # Blocked layout: auto-tuned from THIS graph's degree
+            # distribution via the calibrated cost model
+            # (data/layout_tuner.py — the sweep-measured optimum shifts
+            # with degree stats, BENCH_NOTES r2/r3), unless the config
+            # pins explicit TD/TE.
+            chunk_edges=run_config.model.chunk_edges or None,
+            block_nodes=run_config.model.block_nodes or None,
+            kernel_precision=run_config.model.kernel_precision,
+            # For VMEM feasibility filtering: the kernels stream [TE, H*F]
+            # blocks, so production tiles (H*F >= ~2048) must shrink TE.
+            heads_features=(
+                run_config.model.gat_heads * run_config.model.gat_out_dim
             ),
             # Multi-process halo training: never stack the full [N, D]
             # feature matrix on any host — each process materializes only
