@@ -94,7 +94,12 @@ def _fused_kernel(
     bias_ref,    # [R, 128] f32 (column 0 holds rel_bias; zeros if disabled)
     seed_ref,    # [1, 1] int32 (attention-dropout seed)
     out_ref,     # [TD, H*F]
-    stats_ref,   # [TD, 8, H] (row 0 = m, row 1 = l, row 2 = bias)
+    stats_ref,   # [TD, 128] (lanes [0:H] = m, [H:2H] = l, [2H] = bias) —
+    #              ONE dense lane tile. The previous [TD, 8, H] stack
+    #              lane-padded H -> 128 (physical 8*128 lanes per row:
+    #              a 1 MB striped store per TD=64 block vs the out block's
+    #              64 KB — measured as the largest share of the fwd
+    #              grid/DMA skeleton, BENCH_NOTES r4)
     m_s,         # scratch [TD, H] running per-(dst, head) reference shift
     l_s,         # scratch [TD, H] running denominators (in m_s reference)
     acc_s,       # scratch [TD, H*F] (head-major lane ranges)
@@ -265,17 +270,17 @@ def _fused_kernel(
             acc_new / _expand(denom, heads, f) + b_new[:, None]
         )                                                 # [TD, H*F]
 
-    # Stats as one full-block 3D store (Mosaic rejects 1-D writes into 3-D
-    # refs); tiny [TD, H] stacks.
+    # Stats as ONE dense [TD, 128] lane-tile store: m | l | bias | zeros.
     if "stats" in ablate:
-        stats_ref[:] = jnp.broadcast_to(
-            m_new[:, None, :], (td, 8, heads)
-        )
+        stats_ref[:] = jnp.broadcast_to(m_new[:, :1], (td, 128))
     else:
-        b_t = jnp.broadcast_to(b_new[:, None], (td, heads))
-        zeros = jnp.zeros((td, heads), jnp.float32)
-        stats_ref[:] = jnp.stack(
-            [m_new, l_new_all, b_t, zeros, zeros, zeros, zeros, zeros],
+        stats_ref[:] = jnp.concatenate(
+            [
+                m_new,
+                l_new_all,
+                b_new[:, None],
+                jnp.zeros((td, 128 - 2 * heads - 1), jnp.float32),
+            ],
             axis=1,
         )
 
@@ -295,10 +300,13 @@ def fused_relgat_forward(
     ablate: frozenset = frozenset(),  # profiling knockouts; see kernel doc
 ):
     """Returns ``[num_blocks * TD, H*F]`` aggregated+normalized messages
-    (+bias); with ``with_stats`` also ``[NB*TD, 8, H]`` softmax statistics
-    (m, l, bias — residuals for the backward). Rows of edge-less blocks are
-    unwritten garbage — mask with ``be.block_nonempty``."""
+    (+bias); with ``with_stats`` also ``[NB*TD, 128]`` softmax statistics
+    (lanes [0:H] = m, [H:2H] = l, [2H] = bias — residuals for the
+    backward; one dense lane tile, see the kernel's stats_ref note). Rows
+    of edge-less blocks are unwritten garbage — mask with
+    ``be.block_nonempty``."""
     heads, num_rel, f = attn.shape
+    assert 2 * heads + 1 <= 128, "stats lane layout needs H <= 63"
     e_bp, hf = ps.shape
     assert hf == heads * f
     te = be.chunk_edges
@@ -347,7 +355,7 @@ def fused_relgat_forward(
         out_specs=(
             pl.BlockSpec((td, hf), lambda i, cb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td, 8, heads), lambda i, cb: (cb[i], 0, 0),
+            pl.BlockSpec((td, 128), lambda i, cb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -362,7 +370,7 @@ def fused_relgat_forward(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((be.num_blocks * td, hf), jnp.float32),
-            jax.ShapeDtypeStruct((be.num_blocks * td, 8, heads), jnp.float32),
+            jax.ShapeDtypeStruct((be.num_blocks * td, 128), jnp.float32),
         ),
         interpret=_interpret(),
     )(be.chunk_block, ps, be.chunk_meta, attn_flat, bias128, seed)

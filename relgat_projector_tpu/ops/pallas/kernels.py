@@ -103,7 +103,10 @@ def _packed_stream(g, out_blocks, stats, heads, f,
     hf = heads * f
     g2 = g.astype(jnp.float32).reshape(n_out, hf)
     out2 = out_blocks[:n_out]
-    bias_n = stats[:n_out, 2, 0]                       # [N_out]
+    # stats is the kernels' dense [N, 128] lane layout: m | l | bias.
+    bias_n = stats[:n_out, 2 * heads]                  # [N_out]
+    m_n = stats[:n_out, 0:heads]                       # [N_out, H]
+    l_n = stats[:n_out, heads:2 * heads]               # [N_out, H]
     s_nh = jnp.sum(
         ((out2 - bias_n[:, None]) * g2).reshape(n_out, heads, f), axis=2
     )                                                  # [N_out, H]
@@ -112,8 +115,8 @@ def _packed_stream(g, out_blocks, stats, heads, f,
         return jnp.concatenate(
             [
                 g2,
-                stats[:n_out, 0, :],
-                stats[:n_out, 1, :],
+                m_n,
+                l_n,
                 s_nh,
                 gsum,
                 jnp.zeros((n_out, 5 * heads - 1), jnp.float32),
@@ -126,8 +129,8 @@ def _packed_stream(g, out_blocks, stats, heads, f,
         lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return hi, lo
 
-    m_hi, m_lo = pair(stats[:n_out, 0, :])
-    l_hi, l_lo = pair(stats[:n_out, 1, :])
+    m_hi, m_lo = pair(m_n)
+    l_hi, l_lo = pair(l_n)
     s_hi, s_lo = pair(s_nh)
     gs_hi, gs_lo = pair(gsum)
     return jnp.concatenate(
@@ -278,9 +281,9 @@ def _unpack_block_partials(out_blocks, stats, nonempty, heads, f, eps):
     ``acc`` un-normalizes with the kernel's own denominator convention
     (``max(l, eps)``), so rows a subset never touched recover exactly 0."""
     ne = nonempty
-    m = jnp.where(ne[:, None] > 0, stats[:, 0, :], _NEG)   # [N, H]
-    l = jnp.where(ne[:, None] > 0, stats[:, 1, :], 0.0)    # [N, H]
-    b = jnp.where(ne > 0, stats[:, 2, 0], 0.0)             # [N]
+    m = jnp.where(ne[:, None] > 0, stats[:, 0:heads], _NEG)        # [N, H]
+    l = jnp.where(ne[:, None] > 0, stats[:, heads:2 * heads], 0.0)  # [N, H]
+    b = jnp.where(ne > 0, stats[:, 2 * heads], 0.0)                 # [N]
     out = jnp.where(ne[:, None] > 0, out_blocks, 0.0)      # [N, H*F]
     denom = jnp.repeat(jnp.maximum(l, eps), f, axis=1)     # [N, H*F]
     acc = (out - b[:, None]) * denom
@@ -289,10 +292,11 @@ def _unpack_block_partials(out_blocks, stats, nonempty, heads, f, eps):
 
 def _merge_block_partials(parts, heads, f, eps):
     """Flash-style merge of per-subset ``(m, l, bias, acc)`` into merged
-    ``(out_blocks [N, H*F], stats [N, 8, H])`` in the fused kernels' own
-    stats format, so the src-blocked backward runs per subset against the
-    MERGED statistics (each edge's alpha is recomputed from the global
-    (m, l) — the gradient decomposes additively over subsets)."""
+    ``(out_blocks [N, H*F], stats [N, 128])`` in the fused kernels' own
+    dense stats-lane format, so the src-blocked backward runs per subset
+    against the MERGED statistics (each edge's alpha is recomputed from
+    the global (m, l) — the gradient decomposes additively over
+    subsets)."""
     m = parts[0][0]
     for p in parts[1:]:
         m = jnp.maximum(m, p[0])
@@ -309,13 +313,13 @@ def _merge_block_partials(parts, heads, f, eps):
         jnp.maximum(l_tot, eps), f, axis=1
     ) + b_tot[:, None]
     n = out.shape[0]
-    stats = jnp.stack(
+    stats = jnp.concatenate(
         [
             m,
             l_tot,
-            jnp.broadcast_to(b_tot[:, None], (n, heads)),
-        ]
-        + [jnp.zeros((n, heads), jnp.float32)] * 5,
+            b_tot[:, None],
+            jnp.zeros((n, 128 - 2 * heads - 1), jnp.float32),
+        ],
         axis=1,
     )
     return out, stats
@@ -519,7 +523,7 @@ def _make_scanned_propagate(
         packed = _packed_stream(
             g2,
             outb.reshape(s * rows_d, hf),
-            stats.reshape(s * rows_d, 8, heads),
+            stats.reshape(s * rows_d, 128),
             heads,
             f,
             precision=cfg["precision"],

@@ -7,11 +7,11 @@ for shape in "16 200" "16 128"; do
   set -- $shape
   H=$1; F=$2
   echo "=== H=$H F=$F highest TD=128/TE=256 ==="
-  timeout 3600 env PYTHONPATH=. python scripts/tpu_kernel_check.py --edges 200000 --nodes 20000 \
+  timeout 3600 env PYTHONPATH=.:$PYTHONPATH python scripts/tpu_kernel_check.py --edges 200000 --nodes 20000 \
     --rel 45 --heads $H --feat $F --precision highest --td 128 --te 256
   echo "rc=$?"
   echo "=== H=$H F=$F default TD=64/TE=768 ==="
-  timeout 3600 env PYTHONPATH=. python scripts/tpu_kernel_check.py --edges 200000 --nodes 20000 \
+  timeout 3600 env PYTHONPATH=.:$PYTHONPATH python scripts/tpu_kernel_check.py --edges 200000 --nodes 20000 \
     --rel 45 --heads $H --feat $F --precision default --td 64 --te 768
   echo "rc=$?"
 done

@@ -30,7 +30,7 @@ substitutes so Mosaic cannot dead-code-eliminate upstream work):
   merge      running (m, l) flash-merge chain
   expand     the [*,H]->[*,HF] lane broadcasts (scales + denominator)
   out        output normalization (store raw accumulator)
-  stats      the [TD,8,H] stats stack+store
+  stats      the [TD,128] dense stats-lane compose+store
 
 Usage: PYTHONPATH=. python scripts/tpu_bwd_profile.py [--precision default]
        (run alone: single TPU process rule)
