@@ -146,8 +146,7 @@ class RelGATData:
                 block_nodes = choice.block_nodes
             print(
                 f"Auto-tuned blocked layout: TD={block_nodes} "
-                f"TE={chunk_edges} ({choice.reason}, modeled "
-                f"{choice.predicted_ms:.1f} ms bench-class step)"
+                f"TE={chunk_edges} ({choice.reason})"
             )
         else:
             chunk_edges = 256 if chunk_edges is None else chunk_edges

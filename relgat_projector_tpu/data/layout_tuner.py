@@ -3,34 +3,37 @@
 The Pallas kernels walk block-padded edge layouts (``data/blocked.py``):
 dst-sorted edges padded per TD-row destination block to a multiple of the
 chunk size TE (forward), plus the src-blocked mirror (backward). The
-optimal (TD, TE) is degree-distribution-specific — the measured bf16
-optimum on the uniform avg-degree-10 bench graph (TD=64/TE=768,
-BENCH_NOTES.md r3 TD/TE sweeps) "pays padding on denser graphs" — so
-hardcoded per-mode constants silently train real KGs below their optimum
-(VERDICT r3 missing #2).
+optimal (TD, TE) is degree-distribution-specific (on-chip sweeps: the
+zipf-1.0 optimum differs from the uniform one by 13-18% in both modes),
+so hardcoded per-mode constants silently train real KGs below their
+optimum (VERDICT r3 missing #2).
 
-This module replaces the constants with a fitted cost model evaluated on
-the ACTUAL graph at layout-build time:
+Two mechanisms, both calibrated ON CHIP (``scripts/tpu_layout_sweep.py``
+-> ``reval_r4/layout_sweep.json``, fwd+bwd propagate at candidate layouts
+over 4 graph classes x 2 kernel modes):
 
-    step_ms = K + A*C + B*S + G*TD*S + H*TE*S
+1. MEASURED-ANCHOR selection (primary): the graph's degree statistics
+   (log avg-degree, dst/src degree CV, dst block-concentration) match it
+   to the nearest swept graph class, whose measured layout ranking is
+   walked best-first until a VMEM-feasible entry is found. A smooth
+   C/S cost model cannot rank these measurements (Mosaic scheduling
+   idiosyncrasies leave 14-23% residuals on the post-stats2d kernels);
+   the anchor table reproduces every swept optimum by construction and
+   interpolates between classes by degree similarity. Note uniform and
+   clustered graphs share identical DEGREE statistics (clustering lives
+   in the src-dst joint structure) — their measured winners are merged
+   into one anchor whose top pick is within 1.2% on both.
 
-where, summed over the layers' forward (dst-blocked) and backward
-(src-blocked) kernel walks,
-    C = number of chunks      (per-chunk grid/DMA issue skeleton),
-    S = C*TE = padded slots   (per-edge-slot streaming + compute),
-and the TD*S / TE*S terms capture the one-hot matmul's [TD, TE] growth
-and per-mode tile-size preferences (fp32's 6-pass matmuls want large M:
-its fitted G is negative, i.e. shrinking TD *costs* time — matching the
-measured TD=64 fp32 regression).
-
-Calibration: least squares on the round-2/3 on-chip sweeps (BENCH_NOTES
-"Default-mode chunk-size sweep", "TD sweep in bf16 mode", fp32 TE
-re-measurements), with K pinned to the knockout-attribution non-kernel
-step time and A (the precision-independent grid skeleton) shared across
-modes. The fit reproduces every measured point within +-2% and both
-measured optima (fp32 TD=128/TE=256, bf16 TD=64/TE=768 on the uniform
-bench graph). TE=1024/2048 are excluded from the candidate set — measured
-Mosaic scheduling troughs (27.5M vs 34.4M msg/s at neighbours, repro'd).
+2. VMEM feasibility envelope: the bench-class layouts fail to COMPILE at
+   the reference's doc-scale tile (16 heads x F=200 -> H*F=3200): Mosaic
+   scoped-VMEM OOMs, dominated by the backward's live fp32 [TE, H*F]
+   temporaries. The envelope ``(a*TE + x)*HF*4 + 2*TD*HF*4 + banks`` is
+   solved exactly from two measured compiler allocations per mode
+   (fp32: 17.82M @ TE=256/HF=2048, 20.99M @ TE=128/HF=3200; bf16:
+   30.88M @ TE=768/HF=2048, 20.07M @ TE=256/HF=3200) + 15% safety, and
+   drops infeasible candidates before ranking. fp32 at H*F=3200 has NO
+   feasible layout under the default 16M scoped limit — that tile needs
+   the raised ``vmem_limit_bytes`` path.
 
 Scanned layouts (scan_segments > 1) keep TD=128/TE=256: per-SEGMENT chunk
 padding re-inflates with TE (measured 16M-edge/16-segment: 2412 ms at
@@ -44,37 +47,61 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-# Candidate grid. TE values must keep the (8, 128)-divisible BlockSpec
-# contract (data/blocked.py); 1024/2048 excluded (Mosaic troughs). 128 is
-# slower at bench-class H*F (per-chunk grid overhead) but becomes the only
-# fit at production tiles (H*F >= ~2048) where bigger chunks blow VMEM.
+# Candidate grid for the model fallback. TE values must keep the
+# (8, 128)-divisible BlockSpec contract (data/blocked.py); 1024/2048
+# excluded (measured Mosaic scheduling troughs, r3).
 CANDIDATE_TE: Tuple[int, ...] = (128, 256, 384, 512, 768, 1536)
 
-# Fitted constants (see module docstring; units: ms per step with C in
-# 1e6 chunks, S in 1e6 slots, TD*S in 1e9, TE*S in 1e9).
+# Fallback cost-model constants, least-squares over the round-4 sweep
+# (propagate-only ms at 500k edges; LOOSE — max residual 14-23%, used
+# only when every anchor-ranked layout is VMEM-infeasible).
 _CAL: Dict[str, Dict[str, object]] = {
-    # bf16 1-pass MXU kernels ("default"): grid skeleton is ~50-66% of
-    # kernel time, so fewer/bigger chunks win until padding dominates.
     "default": dict(
-        K=22.1, A=708.19, B=5.6453, G=8.5454, H=0.0, tds=(64, 128)
+        K=62.17, A=531.68, B=6.627, G=-41.137, H=0.538, tds=(64, 128)
     ),
-    # fp32-exact tiers ("highest"): per-slot MXU work dominates; negative
-    # G = MXU M-dim efficiency loss at small TD, so TD stays at 128
-    # (TD=256 unmeasured on this tier — not extrapolated into).
     "highest": dict(
-        K=15.7, A=708.19, B=23.0439, G=-54.7864, H=4.8927, tds=(128,)
+        K=-51.32, A=1389.50, B=116.427, G=14.903, H=-16.895, tds=(128,)
     ),
 }
 
 SCANNED_LAYOUT: Tuple[int, int] = (128, 256)
+
+# Measured anchor classes (reval_r4/layout_sweep.json): degree features
+# [log(E/N), log1p(cv_dst), log1p(cv_src), log1p(blockcv64_dst)] and the
+# measured best-first layout ranking per kernel mode.
+_ANCHORS = (
+    dict(
+        name="uniform",  # merged uniform + clustered (identical features)
+        features=(2.303, 0.275, 0.274, 0.046),
+        highest=((128, 512), (128, 384), (128, 256), (128, 128)),
+        default=((64, 768), (128, 1536), (128, 256), (128, 768),
+                 (64, 384), (64, 128)),
+    ),
+    dict(
+        name="zipf",
+        features=(2.303, 3.264, 0.274, 2.553),
+        highest=((128, 128), (128, 256), (128, 384), (128, 512)),
+        default=((128, 512), (128, 768), (128, 384), (128, 256),
+                 (64, 768), (64, 128)),
+    ),
+    dict(
+        name="dense",
+        features=(3.689, 0.147, 0.148, 0.051),
+        highest=((128, 512), (128, 768), (128, 256), (128, 384),
+                 (128, 128)),
+        default=((64, 768), (128, 256), (128, 768), (64, 384),
+                 (64, 1536), (64, 512), (64, 128)),
+    ),
+)
 
 
 @dataclasses.dataclass(frozen=True)
 class LayoutChoice:
     block_nodes: int           # TD
     chunk_edges: int           # TE
-    predicted_ms: float        # modeled kernel+fixed step time
-    reason: str                # "auto" | "scanned" | "explicit"
+    predicted_ms: float        # fallback-model cost (relative scale)
+    reason: str                # "anchor:<name>" | "scanned" | "model" |
+    #                            "vmem-floor"
     table: Tuple[Tuple[int, int, float], ...] = ()  # (TD, TE, ms) grid
 
 
@@ -89,6 +116,29 @@ def _chunks_slots(
     return c, c * te
 
 
+def degree_features(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int
+) -> Tuple[float, float, float, float]:
+    """Anchor-matching features: log avg degree, log1p degree CVs, log1p
+    dst block-concentration at TD=64 (all cheap bincounts)."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    e = max(1, src.shape[0])
+
+    def cv(keys, width=1):
+        b = np.bincount(
+            keys // width, minlength=max(1, -(-num_nodes // width))
+        )
+        return float(b.std() / max(b.mean(), 1e-9))
+
+    return (
+        float(np.log(max(e / max(num_nodes, 1), 1e-9))),
+        float(np.log1p(cv(dst))),
+        float(np.log1p(cv(src))),
+        float(np.log1p(cv(dst, 64))),
+    )
+
+
 def predict_step_ms(
     src: np.ndarray,
     dst: np.ndarray,
@@ -98,13 +148,11 @@ def predict_step_ms(
     mode: str,
     num_layers: int = 2,
 ) -> float:
-    """Modeled per-step cost (ms). Only RELATIVE values across (td, te)
-    matter for tuning; absolute numbers assume the bench-class step."""
+    """Fallback-model cost (relative ranking scale; the sweep fit is
+    loose — anchors rank the primary path)."""
     cal = _CAL["default" if mode == "default" else "highest"]
     cd, sd = _chunks_slots(np.asarray(dst), num_nodes, td, te)
     cs, ss = _chunks_slots(np.asarray(src), num_nodes, td, te)
-    # Per layer: forward walks the dst-blocked layout once, backward the
-    # src-blocked one once.
     c = num_layers * (cd + cs)
     s = num_layers * (sd + ss)
     return float(
@@ -116,39 +164,31 @@ def predict_step_ms(
     )
 
 
-# Mosaic's scoped-VMEM stack limit on v5e, and the empirical per-mode
-# envelope over BOTH kernels' grid-step working sets. The backward
-# dominates: it keeps ~4-5 live fp32 [TE, H*F] temporaries (ps/g/rel_att/
-# contrib/deps recomputes) on top of the double-buffered streams.
-# Calibrated against the compiler's measured scoped allocations
-# (reval_r4 kernel-check OOMs + passes):
-#   fwd  fp32 TD=128/TE=256/HF=3200 -> 18.41M   (5.6 x TE*HF*4)
-#   fwd  bf16 TD=64 /TE=768/HF=3200 -> 22.61M   (2.3 x)
-#   bwd  bf16 TD=64 /TE=768/HF=2048 -> 30.88M   (4.9 x)
-#   both fp32 TD=128/TE=256/HF=2048 -> compiles (<= 7.6 x)
-# Envelope slopes 6.0 (fp32) / 5.0 (bf16, streams half-width) bound every
-# observation.
+# VMEM feasibility: Mosaic's default scoped-VMEM stack limit, and the
+# per-mode envelope (a*TE + x)*HF*4 + 2*TD*HF*4 + 2*R*HF*4, solved
+# exactly from two measured compiler allocations per mode (module
+# docstring) with a 1.15x safety factor. The backward dominates (live
+# fp32 [TE, H*F] temporaries); x captures its TE-independent, HF-scaled
+# Mosaic temporaries.
 _VMEM_LIMIT_BYTES = 16 * 1024 * 1024
-_VMEM_SLOPE = {"highest": 6.0, "default": 5.0}
+_VMEM_AX = {"highest": (4.16, 761.0), "default": (4.30, 251.0)}
+_VMEM_SAFETY = 1.15
 
 
 def estimate_kernel_vmem(
     td: int, te: int, heads_features: int, num_rel: int, mode: str
 ) -> int:
     """Conservative scoped-VMEM envelope (bytes) for one grid step of the
-    fused kernel pair (max over fwd and the hungrier bwd): the slope term
-    covers the [TE, H*F]-shaped streams + live fp32 temporaries; plus the
-    [TD, H*F] out/dh blocks and the resident relation banks."""
-    mode = "default" if mode == "default" else "highest"
+    fused kernel pair (max over fwd and the hungrier bwd)."""
+    a, x = _VMEM_AX["default" if mode == "default" else "highest"]
     hf = heads_features
     comp = (
-        _VMEM_SLOPE[mode] * te * hf * 4
-        + 2 * td * hf * 4       # out / dh block, double-buffered
+        (a * te + x) * hf * 4
+        + 2 * td * hf * 4       # out / dh block
         + 2 * num_rel * hf * 4  # attn bank + dattn accumulator
         + num_rel * 128 * 8     # bias banks
-        + td * te * 4           # one-hot tile
     )
-    return int(comp)
+    return int(comp * _VMEM_SAFETY)
 
 
 def pick_layout(
@@ -162,14 +202,10 @@ def pick_layout(
     heads_features: Optional[int] = None,
     num_rel: int = 8,
 ) -> LayoutChoice:
-    """Choose (block_nodes, chunk_edges) for this graph + kernel mode.
-
-    With ``heads_features`` (= gat_heads * per-head out dim) given,
-    candidates whose kernel working set exceeds the scoped-VMEM limit are
-    dropped BEFORE cost ranking — at production tiles (H*F >= ~2048,
-    reference doc-scale 16 heads x 200 = 3200) the bench-class layouts
-    fail to compile at all (Mosaic scoped-vmem OOM, reval_r4 kernel
-    check), so VMEM feasibility dominates speed."""
+    """Choose (block_nodes, chunk_edges) for this graph + kernel mode:
+    nearest measured anchor by degree features, best-first through its
+    measured ranking, VMEM-filtered; cost-model over the feasible
+    candidate grid if the whole ranking is infeasible (huge H*F)."""
     mode = "default" if kernel_precision == "default" else "highest"
 
     def fits(td, te):
@@ -186,10 +222,30 @@ def pick_layout(
             te //= 2
         return LayoutChoice(
             td, te,
-            predict_step_ms(src, dst, num_nodes, td, te, kernel_precision,
-                            num_layers),
+            predict_step_ms(src, dst, num_nodes, td, te, mode, num_layers),
             reason="scanned",
         )
+
+    feats = np.asarray(
+        degree_features(src, dst, num_nodes), dtype=np.float64
+    )
+    anchor = min(
+        _ANCHORS,
+        key=lambda a: float(
+            np.sum((feats - np.asarray(a["features"])) ** 2)
+        ),
+    )
+    for td, te in anchor[mode]:
+        if fits(td, te):
+            return LayoutChoice(
+                td, te,
+                predict_step_ms(src, dst, num_nodes, td, te, mode,
+                                num_layers),
+                reason=f"anchor:{anchor['name']}",
+            )
+
+    # Whole anchor ranking infeasible: rank the feasible candidate grid
+    # with the fallback model.
     table = []
     for td in _CAL[mode]["tds"]:
         for te in candidate_te:
@@ -201,7 +257,6 @@ def pick_layout(
                                  num_layers))
             )
     if not table:
-        # Nothing in the grid fits (enormous H*F): smallest legal layout.
         td, te = min(_CAL[mode]["tds"]), 128
         return LayoutChoice(
             td, te,
@@ -209,4 +264,4 @@ def pick_layout(
             reason="vmem-floor",
         )
     td, te, ms = min(table, key=lambda r: r[2])
-    return LayoutChoice(td, te, ms, reason="auto", table=tuple(table))
+    return LayoutChoice(td, te, ms, reason="model", table=tuple(table))
