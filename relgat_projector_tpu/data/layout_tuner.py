@@ -171,6 +171,13 @@ def predict_step_ms(
 # fp32 [TE, H*F] temporaries); x captures its TE-independent, HF-scaled
 # Mosaic temporaries.
 _VMEM_LIMIT_BYTES = 16 * 1024 * 1024
+# With the kernels' auto-raised `vmem_limit_bytes` (ops/pallas/fused.py
+# `_compiler_params`: limit = envelope * 1.25 when the envelope exceeds
+# the 16M default) layouts remain compilable well past 16M; cap the
+# raised tier at 64M so Mosaic keeps pipelining headroom on the 128M
+# v5e core. Sub-16M layouts stay preferred — they compile with the
+# stock limit and their perf is the one the sweeps measured.
+_RAISED_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 _VMEM_AX = {"highest": (4.16, 761.0), "default": (4.30, 251.0)}
 _VMEM_SAFETY = 1.15
 
@@ -208,17 +215,17 @@ def pick_layout(
     candidate grid if the whole ranking is infeasible (huge H*F)."""
     mode = "default" if kernel_precision == "default" else "highest"
 
-    def fits(td, te):
+    def fits(td, te, limit=_VMEM_LIMIT_BYTES):
         if heads_features is None:
             return True
         return (
             estimate_kernel_vmem(td, te, heads_features, num_rel, mode)
-            <= _VMEM_LIMIT_BYTES
+            <= limit
         )
 
     if scanned:
         td, te = SCANNED_LAYOUT
-        while te > 128 and not fits(td, te):
+        while te > 128 and not fits(td, te, _RAISED_VMEM_LIMIT_BYTES):
             te //= 2
         return LayoutChoice(
             td, te,
@@ -235,21 +242,29 @@ def pick_layout(
             np.sum((feats - np.asarray(a["features"])) ** 2)
         ),
     )
-    for td, te in anchor[mode]:
-        if fits(td, te):
-            return LayoutChoice(
-                td, te,
-                predict_step_ms(src, dst, num_nodes, td, te, mode,
-                                num_layers),
-                reason=f"anchor:{anchor['name']}",
-            )
+    # Two tiers: first a pass requiring the stock 16M scoped limit (the
+    # regime every sweep measurement was taken in), then a pass allowing
+    # the kernels' auto-raised limit (big H*F tiles, e.g. the reference's
+    # doc-scale 16x200).
+    for limit, tag in (
+        (_VMEM_LIMIT_BYTES, ""),
+        (_RAISED_VMEM_LIMIT_BYTES, "+vmem"),
+    ):
+        for td, te in anchor[mode]:
+            if fits(td, te, limit):
+                return LayoutChoice(
+                    td, te,
+                    predict_step_ms(src, dst, num_nodes, td, te, mode,
+                                    num_layers),
+                    reason=f"anchor:{anchor['name']}{tag}",
+                )
 
-    # Whole anchor ranking infeasible: rank the feasible candidate grid
-    # with the fallback model.
+    # Whole anchor ranking infeasible even raised: rank the feasible
+    # candidate grid with the fallback model.
     table = []
     for td in _CAL[mode]["tds"]:
         for te in candidate_te:
-            if not fits(td, te):
+            if not fits(td, te, _RAISED_VMEM_LIMIT_BYTES):
                 continue
             table.append(
                 (td, te,

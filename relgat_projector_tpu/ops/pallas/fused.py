@@ -52,12 +52,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from relgat_projector_tpu.data.blocked import BlockedEdges
+from relgat_projector_tpu.data.layout_tuner import estimate_kernel_vmem
 
 _NEG = float(-1e30)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+# Mosaic's default scoped-VMEM stack limit is 16M, but a v5e core has
+# 128M: at the reference's doc-scale tile (16 heads x F=200 -> H*F=3200,
+# `/root/reference/relgat_projector/core/model/layer.py:12-15`) even the
+# smallest blocked layout legitimately needs >16M of live [TE, H*F]
+# temporaries and the kernels fail to COMPILE (BENCH_NOTES r4
+# "Production-tile VMEM wall"). When the measured envelope
+# (data/layout_tuner.py, solved from compiler allocations) exceeds the
+# default, raise `vmem_limit_bytes` with margin instead of OOMing; small
+# tiles keep the default (None) so the bench-class configs compile
+# byte-identically to round 3.
+_DEFAULT_VMEM_LIMIT = 16 * 1024 * 1024
+_MAX_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params(td, te, hf, num_rel, precision):
+    mode = (
+        "default" if precision == jax.lax.Precision.DEFAULT else "highest"
+    )
+    est = estimate_kernel_vmem(td, te, hf, num_rel, mode)
+    if est <= _DEFAULT_VMEM_LIMIT:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(_MAX_VMEM_LIMIT, int(est * 1.25))
+    )
 
 
 def _expand(a, heads: int, f: int, mxu_precision=None):
@@ -120,6 +147,14 @@ def _fused_kernel(
     c = pl.program_id(0)
     prev = cb_ref[jnp.maximum(c - 1, 0)]
     is_first = jnp.logical_or(c == 0, cb_ref[c] != prev)
+    nc = pl.num_programs(0)
+    nxt = cb_ref[jnp.minimum(c + 1, nc - 1)]
+    # Last chunk of this dst block: only then are the normalized output
+    # and final (m, l, bias) stats written. Earlier chunks of multi-chunk
+    # blocks skip the [TD, H*F] divide/expand/store chain entirely — the
+    # running state lives in scratch, and Mosaic flushes the out/stats
+    # buffers at the block-index change right after this chunk anyway.
+    is_last = jnp.logical_or(c == nc - 1, cb_ref[c] != nxt)
 
     et = meta_ref[0, 0, :]
     ld = meta_ref[0, 1, :]
@@ -259,30 +294,32 @@ def _fused_kernel(
     b_new = b_s[0] + pl_bias[:, heads]                    # [TD]
     b_s[0] = b_new
 
-    # ---- write normalized output (final chunk of the block wins) --------
-    denom = jnp.maximum(l_new_all, eps)                   # [TD, H]
-    if "out" in ablate:
-        out_ref[:] = acc_new
-    elif "expand" in ablate:
-        out_ref[:] = acc_new / denom[:, :1] + b_new[:, None]
-    else:
-        out_ref[:] = (
-            acc_new / _expand(denom, heads, f) + b_new[:, None]
-        )                                                 # [TD, H*F]
+    # ---- write normalized output (only the block's final chunk) ---------
+    @pl.when(is_last)
+    def _():
+        denom = jnp.maximum(l_new_all, eps)               # [TD, H]
+        if "out" in ablate:
+            out_ref[:] = acc_new
+        elif "expand" in ablate:
+            out_ref[:] = acc_new / denom[:, :1] + b_new[:, None]
+        else:
+            out_ref[:] = (
+                acc_new / _expand(denom, heads, f) + b_new[:, None]
+            )                                             # [TD, H*F]
 
-    # Stats as ONE dense [TD, 128] lane-tile store: m | l | bias | zeros.
-    if "stats" in ablate:
-        stats_ref[:] = jnp.broadcast_to(m_new[:, :1], (td, 128))
-    else:
-        stats_ref[:] = jnp.concatenate(
-            [
-                m_new,
-                l_new_all,
-                b_new[:, None],
-                jnp.zeros((td, 128 - 2 * heads - 1), jnp.float32),
-            ],
-            axis=1,
-        )
+        # Stats: ONE dense [TD, 128] lane-tile store (m | l | bias | 0).
+        if "stats" in ablate:
+            stats_ref[:] = jnp.broadcast_to(m_new[:, :1], (td, 128))
+        else:
+            stats_ref[:] = jnp.concatenate(
+                [
+                    m_new,
+                    l_new_all,
+                    b_new[:, None],
+                    jnp.zeros((td, 128 - 2 * heads - 1), jnp.float32),
+                ],
+                axis=1,
+            )
 
 
 def fused_relgat_forward(
@@ -372,6 +409,7 @@ def fused_relgat_forward(
             jax.ShapeDtypeStruct((be.num_blocks * td, hf), jnp.float32),
             jax.ShapeDtypeStruct((be.num_blocks * td, 128), jnp.float32),
         ),
+        compiler_params=_compiler_params(td, te, hf, num_rel, precision),
         interpret=_interpret(),
     )(be.chunk_block, ps, be.chunk_meta, attn_flat, bias128, seed)
     if with_stats:
@@ -711,6 +749,7 @@ def fused_relgat_backward_src(
             jax.ShapeDtypeStruct((num_rel, hf), jnp.float32),
             jax.ShapeDtypeStruct((num_rel, 128), jnp.float32),
         ),
+        compiler_params=_compiler_params(td, te, hf, num_rel, precision),
         interpret=_interpret(),
     )(bs.chunk_block, chunk_block_h, h_blocks, ge_packed, bs.chunk_meta,
       attn_flat, seed)

@@ -201,11 +201,13 @@ def test_vmem_envelope_matches_measured_compiler_allocations():
 
 def test_vmem_filter_steers_production_tile_picks():
     """At the doc-scale tile (H*F=3200, R=45) the tuner must never return
-    a layout the envelope rejects; bf16 still has a feasible pick
-    (TE=128); fp32 has NONE under the default 16M scoped limit and must
-    say so (vmem-floor)."""
+    a layout the envelope rejects at the stock 16M limit WITHOUT flagging
+    the raised-vmem tier; bf16 still has a stock-limit pick (TE=128);
+    fp32 has NONE under 16M and must route to the raised tier (the
+    kernels then auto-raise `vmem_limit_bytes` — fused._compiler_params),
+    staying under the 64M raised cap."""
     from relgat_projector_tpu.data.layout_tuner import (
-        _VMEM_LIMIT_BYTES, estimate_kernel_vmem,
+        _RAISED_VMEM_LIMIT_BYTES, _VMEM_LIMIT_BYTES, estimate_kernel_vmem,
     )
 
     src, dst = _graph(20_000, 200_000)
@@ -215,10 +217,14 @@ def test_vmem_filter_steers_production_tile_picks():
         lo.block_nodes, lo.chunk_edges, 3200, 45, "default"
     ) <= _VMEM_LIMIT_BYTES, lo
     assert lo.chunk_edges == 128, lo
+    assert not lo.reason.endswith("+vmem"), lo
 
     hi = pick_layout(src, dst, 20_000, kernel_precision="highest",
                      heads_features=3200, num_rel=45)
-    assert hi.reason == "vmem-floor", hi
+    assert hi.reason.endswith("+vmem"), hi
+    assert estimate_kernel_vmem(
+        hi.block_nodes, hi.chunk_edges, 3200, 45, "highest"
+    ) <= _RAISED_VMEM_LIMIT_BYTES, hi
 
     # Small tiles are unaffected: same pick with or without the filter.
     src_u, dst_u = _graph(100_000, 1_000_000)
@@ -241,3 +247,28 @@ def test_model_fallback_ranks_feasible_grid():
         ch.block_nodes, ch.chunk_edges, 2048, 45, "default"
     ) <= _VMEM_LIMIT_BYTES
     assert ch.chunk_edges in CANDIDATE_TE
+
+
+def test_kernels_auto_raise_vmem_limit_only_for_big_tiles():
+    """ops/pallas/fused._compiler_params must leave small tiles on the
+    stock 16M scoped limit (None -> byte-identical compiles to r3) and
+    raise it with margin for envelope-exceeding tiles, capped at 100M."""
+    import jax
+
+    from relgat_projector_tpu.data.layout_tuner import estimate_kernel_vmem
+    from relgat_projector_tpu.ops.pallas import fused
+
+    hi = jax.lax.Precision.HIGHEST
+    df = jax.lax.Precision.DEFAULT
+    assert fused._compiler_params(128, 256, 256, 8, hi) is None
+    assert fused._compiler_params(64, 768, 256, 8, df) is None
+
+    cp = fused._compiler_params(128, 128, 3200, 45, hi)
+    est = estimate_kernel_vmem(128, 128, 3200, 45, "highest")
+    assert cp is not None and cp.vmem_limit_bytes == int(est * 1.25)
+    # The measured fp32 compiler allocation at this layout was 20.99M —
+    # the raised limit must clear it.
+    assert cp.vmem_limit_bytes > 21 * 1024 * 1024
+
+    cp2 = fused._compiler_params(64, 256, 3200, 45, df)
+    assert cp2 is not None and cp2.vmem_limit_bytes > 20 * 1024 * 1024
