@@ -87,9 +87,16 @@ def generate_synthetic_kg(
                 # einsum would materialize [chunk, n, d]).
                 dst[lo:hi] = np.argmax(target @ emb.T, axis=1)
             else:
-                cand = rng.integers(0, num_nodes, size=(hi - lo, pool_size))
-                sims = np.einsum("bpd,bd->bp", emb[cand], target)
-                dst[lo:hi] = cand[np.arange(hi - lo), np.argmax(sims, axis=1)]
+                # ONE shared candidate pool per chunk: sims become a BLAS
+                # [chunk, d] @ [d, pool] matmul. The per-ROW pool variant
+                # (einsum over emb[cand] of [chunk, pool, d]) materialized
+                # a multi-GB gather per chunk — non-BLAS fancy indexing
+                # that ran ~1 h at dim 1152/120k nodes for the doc-scale
+                # rehearsal. Statistically the dst mapping is the same:
+                # argmax over `pool_size` uniform candidates.
+                cand = rng.integers(0, num_nodes, size=pool_size)
+                sims = target @ emb[cand].T
+                dst[lo:hi] = cand[np.argmax(sims, axis=1)]
     else:
         dst = rng.integers(0, num_nodes, size=num_edges)
 

@@ -79,6 +79,9 @@ def test_blocked_layout_invariants():
 
 def test_pallas_forward_matches_xla():
     src, dst, et, bg, h, attn, bias, n = _random_case()
+    # The default case must keep multi-chunk dst blocks, or the kernel's
+    # is_last-gated store/merge path silently loses test coverage.
+    assert bg.by_dst.num_chunks > bg.by_dst.num_blocks
     want = relgat_propagate(
         h, attn, bias, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(et),
         num_nodes=n,
