@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -143,6 +144,20 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
     )
 
     src, dst, et, emb, bs, br, bd = _make_inputs(cfg_d)
+    if use_pallas and not (td and te):
+        # 0 = auto: the r4 layout tuner (measured-anchor ranking + VMEM
+        # envelope), exactly what the trainer does for block_nodes=0.
+        from relgat_projector_tpu.data.layout_tuner import pick_layout
+
+        choice = pick_layout(
+            src, dst, cfg_d["num_nodes"],
+            kernel_precision=kernel_precision,
+            heads_features=cfg_d["gat_heads"] * cfg_d["gat_out_dim"],
+            num_rel=cfg_d["num_rel"],
+        )
+        td, te = choice.block_nodes, choice.chunk_edges
+        print(f"auto-tuned layout: TD={td} TE={te} ({choice.reason})",
+              file=sys.stderr)
     graph = build_graph(
         src, dst, et, num_nodes=cfg_d["num_nodes"], blocked=use_pallas,
         block_nodes=td, chunk_edges=te,
