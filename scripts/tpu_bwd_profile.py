@@ -60,6 +60,12 @@ def main():
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "default"])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--td", type=int, default=0,
+                    help="blocked-layout dst/src block rows (0 = per-mode "
+                         "production default, mirroring trainer.py)")
+    ap.add_argument("--te", type=int, default=0,
+                    help="blocked-layout chunk size (0 = per-mode "
+                         "production default)")
     ap.add_argument("--forward", action="store_true",
                     help="profile the forward kernel instead")
     ap.add_argument(
@@ -122,8 +128,12 @@ def main():
     cfg = B.BENCH
     precision = _PRECISIONS[args.precision]
     src, dst, et, emb, *_ = B._make_inputs(cfg)
+    td = args.td or (64 if args.precision == "default" else 128)
+    te = args.te or (768 if args.precision == "default" else 256)
+    print(f"layout: TD={td} TE={te}")
     graph = build_graph(
-        src, dst, et, num_nodes=cfg["num_nodes"], blocked=True
+        src, dst, et, num_nodes=cfg["num_nodes"], blocked=True,
+        block_nodes=td, chunk_edges=te,
     )
     blocked = graph.blocked
     heads, f = cfg["gat_heads"], cfg["gat_out_dim"]
