@@ -192,6 +192,12 @@ def estimate_kernel_vmem(
     comp = (
         (a * te + x) * hf * 4
         + 2 * td * hf * 4       # out / dh block
+        + 3 * td * te * 4       # live [TD, TE] one-hot temporaries (the
+        #                         dst/src scatter masks + a transpose) —
+        #                         negligible at the swept tiles (<=0.6M)
+        #                         but 9.4M at TD=256/TE=3072, where the
+        #                         measured compiler allocation is 23.29M
+        #                         vs 14.4M without this term (queue9)
         + 2 * num_rel * hf * 4  # attn bank + dattn accumulator
         + num_rel * 128 * 8     # bias banks
     )
