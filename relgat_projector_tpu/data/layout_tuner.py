@@ -19,10 +19,12 @@ over 4 graph classes x 2 kernel modes):
    C/S cost model cannot rank these measurements (Mosaic scheduling
    idiosyncrasies leave 14-23% residuals on the post-stats2d kernels);
    the anchor table reproduces every swept optimum by construction and
-   interpolates between classes by degree similarity. Note uniform and
-   clustered graphs share identical DEGREE statistics (clustering lives
-   in the src-dst joint structure) — their measured winners are merged
-   into one anchor whose top pick is within 1.2% on both.
+   interpolates between classes by degree similarity. Uniform and
+   clustered graphs share identical DEGREE marginals (clustering lives
+   in the src-dst joint structure), so the feature vector includes a
+   block-locality term that separates them — their measured bf16 optima
+   differ by 10% ((128, 1536) vs (64, 768), sweep + queue7 full-step
+   probes).
 
 2. VMEM feasibility envelope: the bench-class layouts fail to COMPILE at
    the reference's doc-scale tile (16 heads x F=200 -> H*F=3200): Mosaic
@@ -66,27 +68,42 @@ _CAL: Dict[str, Dict[str, object]] = {
 
 SCANNED_LAYOUT: Tuple[int, int] = (128, 256)
 
-# Measured anchor classes (reval_r4/layout_sweep.json): degree features
-# [log(E/N), log1p(cv_dst), log1p(cv_src), log1p(blockcv64_dst)] and the
-# measured best-first layout ranking per kernel mode.
+# Measured anchor classes (reval_r4/layout_sweep.json + the full-step
+# bench probes in reval_r4/queue7.log): degree features
+# [log(E/N), log1p(cv_dst), log1p(cv_src), log1p(blockcv64_dst),
+# log1p(locality)] and the measured best-first layout ranking per kernel
+# mode. `locality` = P(src and dst share a TD=64 block) * num_blocks
+# (~1 when src/dst are independent, >>1 for clustered graphs) — it
+# splits uniform from clustered, whose degree MARGINALS are identical
+# but whose measured bf16 optima differ by 10% ((128, 1536) vs
+# (64, 768), sweep + queue7).
 _ANCHORS = (
     dict(
-        name="uniform",  # merged uniform + clustered (identical features)
-        features=(2.303, 0.275, 0.274, 0.046),
+        name="uniform",
+        features=(2.303, 0.275, 0.274, 0.046, 0.745),
         highest=((128, 512), (128, 384), (128, 256), (128, 128)),
-        default=((64, 768), (128, 1536), (128, 256), (128, 768),
+        # Full-step bench (is_last kernels, queue7): (128,1536) 39.16M >
+        # (64,768) 38.82M > (128,768) 38.52M; sweep tail order after.
+        default=((128, 1536), (64, 768), (128, 768), (128, 256),
                  (64, 384), (64, 128)),
     ),
     dict(
+        name="clustered",
+        features=(2.303, 0.275, 0.274, 0.046, 4.476),
+        highest=((128, 512), (128, 128), (128, 256), (128, 384)),
+        default=((64, 768), (128, 256), (128, 768), (64, 384),
+                 (128, 1536), (64, 128)),
+    ),
+    dict(
         name="zipf",
-        features=(2.303, 3.264, 0.274, 2.553),
+        features=(2.303, 3.264, 0.274, 2.553, 0.729),
         highest=((128, 128), (128, 256), (128, 384), (128, 512)),
         default=((128, 512), (128, 768), (128, 384), (128, 256),
                  (64, 768), (64, 128)),
     ),
     dict(
         name="dense",
-        features=(3.689, 0.147, 0.148, 0.051),
+        features=(3.689, 0.147, 0.148, 0.051, 0.680),
         highest=((128, 512), (128, 768), (128, 256), (128, 384),
                  (128, 128)),
         default=((64, 768), (128, 256), (128, 768), (64, 384),
@@ -118,9 +135,10 @@ def _chunks_slots(
 
 def degree_features(
     src: np.ndarray, dst: np.ndarray, num_nodes: int
-) -> Tuple[float, float, float, float]:
+) -> Tuple[float, float, float, float, float]:
     """Anchor-matching features: log avg degree, log1p degree CVs, log1p
-    dst block-concentration at TD=64 (all cheap bincounts)."""
+    dst block-concentration at TD=64, and log1p src-dst block locality
+    (all cheap bincounts / one elementwise compare)."""
     src = np.asarray(src)
     dst = np.asarray(dst)
     e = max(1, src.shape[0])
@@ -131,11 +149,15 @@ def degree_features(
         )
         return float(b.std() / max(b.mean(), 1e-9))
 
+    nb64 = max(1, -(-num_nodes // 64))
+    locality = float(np.mean((src // 64) == (dst // 64))) * nb64
+
     return (
         float(np.log(max(e / max(num_nodes, 1), 1e-9))),
         float(np.log1p(cv(dst))),
         float(np.log1p(cv(src))),
         float(np.log1p(cv(dst, 64))),
+        float(np.log1p(max(locality, 0.0))),
     )
 
 
