@@ -353,10 +353,10 @@ def main():
                     help="MXU precision in the Pallas kernels (default=bf16)")
     ap.add_argument("--td", type=int, default=0,
                     help="dst-block rows in the blocked layout "
-                         "(0 = per-mode optimum: 128 exact, 64 bf16)")
+                         "(0 = layout auto-tuner)")
     ap.add_argument("--te", type=int, default=0,
                     help="edge-chunk size in the blocked layout "
-                         "(0 = per-mode optimum: 256 exact, 768 bf16)")
+                         "(0 = layout auto-tuner)")
     ap.add_argument("--steps-per-call", dest="steps_per_call", type=int,
                     default=32,
                     help="train steps per jitted dispatch (lax.scan), the "
