@@ -397,8 +397,8 @@ def main():
     eps, spt, windows = bench_jax(
         cfg_d, steps=args.steps, use_pallas=args.use_pallas,
         kernel_precision=args.kernel_precision,
-        td=args.td or (64 if args.kernel_precision == "default" else 128),
-        te=args.te or (768 if args.kernel_precision == "default" else 256),
+        td=args.td,
+        te=args.te,
         steps_per_call=args.steps_per_call,
     )
     print(
