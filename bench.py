@@ -18,6 +18,12 @@ Definitions
   cached in ``baselines/torch_cpu.json``.
 
 Usage: ``python bench.py [--small] [--measure-torch-baseline]``
+
+With no ``--kernel-precision`` the JSON line carries BOTH modes: ``value``
+(fp32-parity, apples-to-apples with the torch reference) and
+``value_bf16`` (the production throughput mode), plus the layout each ran
+at. ``--probe-pick`` additionally times the last committed known-good
+layout so tuner-anchor staleness is caught in-session (BENCH_NOTES.md).
 """
 
 from __future__ import annotations
@@ -47,6 +53,14 @@ BENCH = dict(
     batch_size=1024,
     num_neg=16,
 )
+# Last committed known-good layout per kernel mode, FULL-STEP-measured on
+# the uniform bench graph (BENCH_NOTES.md). --probe-pick times the tuner's
+# pick against this in the same session: round 4's fp32 anchor tables were
+# frozen from pre-is_last propagate sweeps and the live tuner regressed
+# the driver headline 19% before anyone measured the pick (VERDICT r4
+# weak #1). Update these alongside any anchor-table change.
+KNOWN_GOOD_LAYOUT = {"highest": (128, 256), "default": (128, 1536)}
+
 BENCH_SMALL = dict(
     num_nodes=10_000,
     num_edges=100_000,
@@ -110,23 +124,45 @@ def _wait_for_backend(max_wait_s=1800, probe_timeout_s=600):
         time.sleep(wait)
 
 
-def _make_inputs(cfg_d, seed=0):
+def _make_inputs(cfg_d, seed=0, graph_class="uniform"):
+    """Bench graph generator. ``graph_class`` mirrors the layout sweep's
+    graph families (scripts/tpu_layout_sweep.py) at bench scale, so the
+    tuner's anchor rankings can be probed with FULL-STEP timings on every
+    measured class — propagate-only proxies misranked fp32 layouts in
+    round 4 (VERDICT r4 weak #1)."""
     rng = np.random.default_rng(seed)
     n, e = cfg_d["num_nodes"], cfg_d["num_edges"]
+    if graph_class == "dense":
+        # avg degree 40 (the sweep's dense40 class) at the same edge count
+        n = max(1, n // 4)
     src = rng.integers(0, n, e).astype(np.int32)
-    dst = rng.integers(0, n, e).astype(np.int32)
+    if graph_class in ("uniform", "dense"):
+        dst = rng.integers(0, n, e).astype(np.int32)
+    elif graph_class == "zipf":
+        p = 1.0 / np.arange(1, n + 1) ** 1.0
+        p /= p.sum()
+        dst = rng.choice(n, size=e, p=p).astype(np.int32)
+    elif graph_class == "clustered":
+        cs = 500  # 90% intra-cluster edges, cluster size 500 (sweep recipe)
+        intra = rng.random(e) < 0.9
+        off = rng.integers(0, cs, e)
+        dst = np.where(
+            intra, (src // cs) * cs + off, rng.integers(0, n, e)
+        ).astype(np.int32)
+    else:
+        raise ValueError(f"unknown graph class {graph_class!r}")
     et = rng.integers(0, cfg_d["num_rel"], e).astype(np.int32)
     emb = rng.standard_normal((n, cfg_d["emb_dim"])).astype(np.float32)
     b = cfg_d["batch_size"]
     bs = rng.integers(0, n, b).astype(np.int32)
     br = rng.integers(0, cfg_d["num_rel"], b).astype(np.int32)
     bd = rng.integers(0, n, b).astype(np.int32)
-    return src, dst, et, emb, bs, br, bd
+    return n, src, dst, et, emb, bs, br, bd
 
 
 def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
               kernel_precision="highest", td=128, te=256,
-              steps_per_call=1):
+              steps_per_call=1, graph_class="uniform"):
     import jax
     import jax.numpy as jnp
 
@@ -143,10 +179,15 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
         make_train_step,
     )
 
-    src, dst, et, emb, bs, br, bd = _make_inputs(cfg_d)
+    n, src, dst, et, emb, bs, br, bd = _make_inputs(
+        cfg_d, graph_class=graph_class
+    )
+    cfg_d = dict(cfg_d, num_nodes=n)
     if use_pallas and not (td and te):
         # 0 = auto: the r4 layout tuner (measured-anchor ranking + VMEM
         # envelope), exactly what the trainer does for block_nodes=0.
+        # Only the UNSPECIFIED value(s) come from the tuner — an explicit
+        # --td with --te 0 keeps the user's td (ADVICE r4 #1).
         from relgat_projector_tpu.data.layout_tuner import pick_layout
 
         choice = pick_layout(
@@ -155,7 +196,8 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
             heads_features=cfg_d["gat_heads"] * cfg_d["gat_out_dim"],
             num_rel=cfg_d["num_rel"],
         )
-        td, te = choice.block_nodes, choice.chunk_edges
+        td = td or choice.block_nodes
+        te = te or choice.chunk_edges
         print(f"auto-tuned layout: TD={td} TE={te} ({choice.reason})",
               file=sys.stderr)
     graph = build_graph(
@@ -240,7 +282,7 @@ def bench_jax(cfg_d, steps=30, warmup=3, use_pallas=False,
         elapsed = min(windows)
 
     edge_messages = cfg_d["num_edges"] * cfg_d["gat_num_layers"] * steps
-    return edge_messages / elapsed, elapsed / steps, windows
+    return edge_messages / elapsed, elapsed / steps, windows, (td, te)
 
 
 def bench_torch_reference(cfg_d, steps=3):
@@ -250,7 +292,7 @@ def bench_torch_reference(cfg_d, steps=3):
     import torch.nn.functional as F
 
     torch.manual_seed(0)
-    src_n, dst_n, et_n, emb_n, bs, br, bd = _make_inputs(cfg_d)
+    _n, src_n, dst_n, et_n, emb_n, bs, br, bd = _make_inputs(cfg_d)
     src = torch.tensor(src_n, dtype=torch.long)
     dst = torch.tensor(dst_n, dtype=torch.long)
     et = torch.tensor(et_n, dtype=torch.long)
@@ -348,9 +390,25 @@ def main():
                          "Pallas kernels")
     ap.set_defaults(use_pallas=True)
     ap.add_argument("--measure-torch-baseline", action="store_true")
-    ap.add_argument("--kernel-precision", default="highest",
+    ap.add_argument("--kernel-precision", default=None,
                     choices=["highest", "default"],
-                    help="MXU precision in the Pallas kernels (default=bf16)")
+                    help="MXU precision in the Pallas kernels (default=bf16)."
+                         " Omitted: measure BOTH modes and emit one JSON "
+                         "line with value=fp32-parity (apples-to-apples "
+                         "with the torch reference) plus value_bf16 (the "
+                         "production throughput mode) — VERDICT r4 #7")
+    ap.add_argument("--graph-class", default="uniform",
+                    choices=["uniform", "zipf", "clustered", "dense"],
+                    help="bench graph family (sweep classes at bench "
+                         "scale) for full-step layout probing")
+    ap.add_argument("--probe-pick", action="store_true",
+                    help="also time the last committed known-good layout "
+                         "per mode and report both — catches a kernel "
+                         "change invalidating the tuner's anchors the day "
+                         "it lands instead of at the driver (r4 shipped a "
+                         "19%% fp32 regression exactly this way). Rule of "
+                         "the road: run this after ANY kernel change, "
+                         "before committing (BENCH_NOTES.md)")
     ap.add_argument("--td", type=int, default=0,
                     help="dst-block rows in the blocked layout "
                          "(0 = layout auto-tuner)")
@@ -394,30 +452,55 @@ def main():
         with open(BASELINE_PATH, "w") as fh:
             json.dump(existing, fh, indent=2)
 
-    eps, spt, windows = bench_jax(
-        cfg_d, steps=args.steps, use_pallas=args.use_pallas,
-        kernel_precision=args.kernel_precision,
-        td=args.td,
-        te=args.te,
-        steps_per_call=args.steps_per_call,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "edges_per_sec_per_chip",
-                "value": round(eps),
-                "unit": "edge-messages/s",
-                "vs_baseline": round(eps / baseline["edges_per_sec"], 2),
-                # Per-window wall times (best-of is the reported value):
-                # the spread separates code regressions from the remote
-                # relay's run-to-run weather (~±10% observed).
-                "windows_sec": [round(w, 3) for w in windows],
-                "window_spread_pct": round(
-                    100.0 * (max(windows) - min(windows)) / min(windows), 1
-                ),
-            }
+    if args.kernel_precision is not None:
+        modes = [args.kernel_precision]
+    elif args.use_pallas:
+        modes = ["highest", "default"]  # fp32-parity headline + bf16 prod
+    else:
+        modes = ["highest"]
+
+    def run(mode, td, te):
+        return bench_jax(
+            cfg_d, steps=args.steps, use_pallas=args.use_pallas,
+            kernel_precision=mode, td=td, te=te,
+            steps_per_call=args.steps_per_call,
+            graph_class=args.graph_class,
         )
-    )
+
+    out = {"metric": "edges_per_sec_per_chip", "unit": "edge-messages/s"}
+    for i, mode in enumerate(modes):
+        eps, spt, windows, layout = run(mode, args.td, args.te)
+        # First mode keeps the historical field names (driver continuity:
+        # "value" has been fp32-parity every round); later modes suffix.
+        sfx = "" if i == 0 else {"default": "_bf16", "highest": "_fp32"}[mode]
+        out["value" + sfx] = round(eps)
+        out["vs_baseline" + sfx] = round(eps / baseline["edges_per_sec"], 2)
+        out["layout" + sfx] = f"{layout[0]}x{layout[1]}"
+        # Per-window wall times (best-of is the reported value): the
+        # spread separates code regressions from the remote relay's
+        # run-to-run weather (~±10% observed).
+        out["windows_sec" + sfx] = [round(w, 3) for w in windows]
+        out["window_spread_pct" + sfx] = round(
+            100.0 * (max(windows) - min(windows)) / min(windows), 1
+        )
+        if args.probe_pick and args.use_pallas and not (args.td or args.te):
+            prior = KNOWN_GOOD_LAYOUT[mode]
+            if prior == layout:
+                print(f"# probe-pick[{mode}]: tuner pick {layout} IS the "
+                      f"known-good layout", file=sys.stderr)
+            else:
+                eps_p, _, _, _ = run(mode, *prior)
+                delta = eps / eps_p - 1.0
+                out[f"probe_prior{sfx}"] = {
+                    "layout": f"{prior[0]}x{prior[1]}",
+                    "value": round(eps_p),
+                    "pick_vs_prior_pct": round(100.0 * delta, 1),
+                }
+                verdict = "OK" if delta >= -0.02 else "REGRESSION"
+                print(f"# probe-pick[{mode}]: pick {layout} {eps:.3g} vs "
+                      f"known-good {prior} {eps_p:.3g} -> {delta*100:+.1f}%"
+                      f" {verdict}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

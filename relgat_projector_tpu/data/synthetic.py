@@ -92,8 +92,19 @@ def generate_synthetic_kg(
                 # (einsum over emb[cand] of [chunk, pool, d]) materialized
                 # a multi-GB gather per chunk — non-BLAS fancy indexing
                 # that ran ~1 h at dim 1152/120k nodes for the doc-scale
-                # rehearsal. Statistically the dst mapping is the same:
-                # argmax over `pool_size` uniform candidates.
+                # rehearsal. Equivalence to per-row pools is MARGINAL-
+                # distribution-only (each dst is still an argmax over
+                # `pool_size` uniform candidates): within a chunk the
+                # rows share one pool, so generically-attractive
+                # candidates win many rows at once (winner-take-many),
+                # correlating dsts and inflating dst-degree variance/CV
+                # versus independent pools — and same-seed datasets
+                # differ from the pre-r4 generator (ADVICE r4 #2). Tests
+                # and the layout tuner anchor on degree statistics
+                # MEASURED from the generated graph, not on an assumed
+                # CV, so the correlation is benign here; draw several
+                # sub-pools per chunk (still BLAS) if tighter
+                # equivalence ever matters.
                 cand = rng.integers(0, num_nodes, size=pool_size)
                 sims = target @ emb[cand].T
                 dst[lo:hi] = cand[np.argmax(sims, axis=1)]

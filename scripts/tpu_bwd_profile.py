@@ -127,7 +127,7 @@ def main():
 
     cfg = B.BENCH
     precision = _PRECISIONS[args.precision]
-    src, dst, et, emb, *_ = B._make_inputs(cfg)
+    _n, src, dst, et, emb, *_ = B._make_inputs(cfg)
     td = args.td or (64 if args.precision == "default" else 128)
     te = args.te or (768 if args.precision == "default" else 256)
     print(f"layout: TD={td} TE={te}")

@@ -51,7 +51,7 @@ def main():
     from relgat_projector_tpu.train.step import batch_forward, make_train_step
 
     cfg_d = B.BENCH_SMALL if args.small else B.BENCH
-    src, dst, et, emb, bs, br, bd = B._make_inputs(cfg_d)
+    _n, src, dst, et, emb, bs, br, bd = B._make_inputs(cfg_d)
     graph = build_graph(
         src, dst, et, num_nodes=cfg_d["num_nodes"], blocked=True,
         chunk_edges=768 if args.kernel_precision == "default" else 256,

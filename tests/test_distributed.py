@@ -211,6 +211,7 @@ jax.config.update("jax_platforms", "cpu")
 from relgat_projector_tpu.parallel import initialize_distributed
 
 coord, rank, phase, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+use_pallas = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
 initialize_distributed(coordinator_address=coord, num_processes=2,
                        process_id=rank)
 assert jax.device_count() == 8 and jax.local_device_count() == 4
@@ -229,7 +230,12 @@ run = RunConfig(
     model=ModelConfig(
         in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
         gat_num_layers=2, dropout=0.0, project_to_input_size=True,
-        projection_layers=1, use_pallas=False, mesh_propagate="halo",
+        projection_layers=1, use_pallas=use_pallas,
+        mesh_propagate="halo",
+        # Pinned small blocks: interpret-mode Pallas on CPU, and byte-
+        # identical layouts to the single-process ground truth.
+        block_nodes=64 if use_pallas else 0,
+        chunk_edges=128 if use_pallas else 0,
     ),
     train=TrainConfig(
         epochs=1, train_batch_size=64, eval_batch_size=64, num_neg=4,
@@ -246,8 +252,12 @@ assert trainer._multiprocess and trainer._is_primary == (rank == 0)
 # stacked host-side; only this process's addressable graph-shard rows were.
 assert trainer.dataset.node_emb is None
 rows = trainer.dataset.features_materialized_rows
-assert 0 < rows < trainer.dataset.num_nodes, (
-    rows, trainer.dataset.num_nodes)
+# Each process materializes only its ADDRESSABLE half of the (padded)
+# global feature matrix — rows counts padding rows too, so bound against
+# the graph's padded node count, not the raw dataset N (the Pallas
+# blocked layout pads nodes to block multiples).
+padded = int(trainer.graph.num_nodes)
+assert 0 < rows <= padded // 2, (rows, padded, trainer.dataset.num_nodes)
 
 # Count actual storage writes to prove single-writer gating.
 writes = []
@@ -273,7 +283,7 @@ print(f"RANK{rank}_TRAIN_OK phase={phase} step={trainer.global_step} "
 """
 
 
-def _run_trainer_pair(phase: str, out_dir: str) -> str:
+def _run_trainer_pair(phase: str, out_dir: str, use_pallas: bool = False) -> str:
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -285,7 +295,7 @@ def _run_trainer_pair(phase: str, out_dir: str) -> str:
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _TRAINER_WORKER, coord, str(rank),
-             phase, out_dir],
+             phase, out_dir, str(int(use_pallas))],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
@@ -310,21 +320,12 @@ def _parse_result(out: str, phase: str) -> dict:
     return {k: float(v) for k, v in kv.items() if k != "phase"}
 
 
-def test_two_process_trainer_end_to_end(tmp_path):
-    """VERDICT r3 #1: `RelGATTrainer` as 2 real OS processes — train ->
-    checkpoint -> (processes die) -> resume in FRESH processes -> finish —
-    matching the single-process trainer's numerics, with each process
-    materializing only its feature shards (never the full [N, D] matrix)."""
-    out_dir = str(tmp_path / "mp-ckpt")
+def _single_process_ground_truth(out_dir: str, use_pallas: bool) -> dict:
+    """Identical config on the local 8-device mesh, same train ->
+    final-save -> fresh-trainer-resume -> train sequence as the 2-process
+    pair; returns the same summary fields."""
+    import numpy as np
 
-    got_a = _parse_result(_run_trainer_pair("fresh", out_dir), "fresh")
-    # The first pair exited; a brand-new pair resumes from its checkpoint.
-    got_b = _parse_result(_run_trainer_pair("resume", out_dir), "resume")
-    assert got_b["step"] > got_a["step"]
-
-    # Single-process ground truth: identical config on the local 8-device
-    # mesh, same train -> final-save -> fresh-trainer-resume -> train
-    # sequence. Numerics must match the 2-process run.
     from relgat_projector_tpu.config import (
         MeshConfig, ModelConfig, RunConfig, TrainConfig,
     )
@@ -340,15 +341,17 @@ def test_two_process_trainer_end_to_end(tmp_path):
             model=ModelConfig(
                 in_dim=16, num_rel=4, gat_out_dim=8, gat_heads=2,
                 gat_num_layers=2, dropout=0.0, project_to_input_size=True,
-                projection_layers=1, use_pallas=False,
+                projection_layers=1, use_pallas=use_pallas,
                 mesh_propagate="halo",
+                block_nodes=64 if use_pallas else 0,
+                chunk_edges=128 if use_pallas else 0,
             ),
             train=TrainConfig(
                 epochs=1, train_batch_size=64, eval_batch_size=64,
                 num_neg=4, lr=1e-3, lr_scheduler="constant",
                 warmup_steps=0, eval_ks_ranks=(1, 2), seed=3,
                 log_every_n_steps=10_000,
-                out_dir=str(tmp_path / "sp-ckpt"),
+                out_dir=out_dir,
             ),
             mesh=MeshConfig(data_axis=1, graph_axis=8),
         )
@@ -366,6 +369,47 @@ def test_two_process_trainer_end_to_end(tmp_path):
         np.abs(np.asarray(l)).sum()
         for l in __import__("jax").tree_util.tree_leaves(t2.state.params)
     ))
-    np.testing.assert_allclose(got_b["loss"], loss, rtol=1e-4)
-    np.testing.assert_allclose(got_b["mrr"], mrr, rtol=1e-3)
-    np.testing.assert_allclose(got_b["fp"], fp, rtol=1e-4)
+    return {"mrr": mrr, "loss": loss, "fp": fp}
+
+
+def test_two_process_trainer_end_to_end(tmp_path):
+    """VERDICT r3 #1: `RelGATTrainer` as 2 real OS processes — train ->
+    checkpoint -> (processes die) -> resume in FRESH processes -> finish —
+    matching the single-process trainer's numerics, with each process
+    materializing only its feature shards (never the full [N, D] matrix)."""
+    out_dir = str(tmp_path / "mp-ckpt")
+
+    got_a = _parse_result(_run_trainer_pair("fresh", out_dir), "fresh")
+    # The first pair exited; a brand-new pair resumes from its checkpoint.
+    got_b = _parse_result(_run_trainer_pair("resume", out_dir), "resume")
+    assert got_b["step"] > got_a["step"]
+
+    want = _single_process_ground_truth(str(tmp_path / "sp-ckpt"), False)
+    np.testing.assert_allclose(got_b["loss"], want["loss"], rtol=1e-4)
+    np.testing.assert_allclose(got_b["mrr"], want["mrr"], rtol=1e-3)
+    np.testing.assert_allclose(got_b["fp"], want["fp"], rtol=1e-4)
+
+
+def test_two_process_trainer_pallas_halo(tmp_path):
+    """VERDICT r4 missing #3 — the multi-process x Pallas diagonal: the
+    2-process trainer with `use_pallas=True` (interpret mode on CPU) over
+    the halo mesh — per-process blocked-layout construction, sharded node
+    features, checkpoint -> kill -> resume — matching single-process
+    Pallas numerics. Previously Pallas x halo was covered single-process
+    only and cross-process runs were XLA-only."""
+    out_dir = str(tmp_path / "mp-pallas-ckpt")
+
+    got_a = _parse_result(
+        _run_trainer_pair("fresh", out_dir, use_pallas=True), "fresh"
+    )
+    got_b = _parse_result(
+        _run_trainer_pair("resume", out_dir, use_pallas=True), "resume"
+    )
+    assert got_b["step"] > got_a["step"]
+
+    want = _single_process_ground_truth(
+        str(tmp_path / "sp-pallas-ckpt"), True
+    )
+    np.testing.assert_allclose(got_b["loss"], want["loss"], rtol=1e-4)
+    np.testing.assert_allclose(got_b["mrr"], want["mrr"], rtol=1e-3)
+    np.testing.assert_allclose(got_b["fp"], want["fp"], rtol=1e-4)

@@ -108,6 +108,32 @@ def test_picks_within_5pct_of_swept_best_on_all_measured_classes():
             assert ch.reason.startswith("anchor:"), ch
 
 
+def test_self_loops_do_not_masquerade_as_clustering():
+    """Dataset-level self-loop augmentation (the parity protocol's
+    synthetic KGs) must not flip an otherwise-uniform graph's anchor match
+    to 'clustered' via the block-locality feature (ADVICE r4 #3): the
+    statistic is computed on the off-diagonal edge subset."""
+    from relgat_projector_tpu.data.layout_tuner import degree_features
+
+    n = 10_000
+    src, dst = _graph(n, 100_000, seed=5)
+    src_sl = np.concatenate([src, np.arange(n)])
+    dst_sl = np.concatenate([dst, np.arange(n)])
+    f_plain = degree_features(src, dst, n)
+    f_sl = degree_features(src_sl, dst_sl, n)
+    # locality (last feature) must stay in the uniform regime (~log1p(1.1)
+    # = 0.75), nowhere near clustered (log1p(87) = 4.5).
+    assert abs(f_sl[-1] - f_plain[-1]) < 0.5, (f_plain, f_sl)
+    for mode in ("highest", "default"):
+        a = pick_layout(src, dst, n, kernel_precision=mode)
+        b = pick_layout(src_sl, dst_sl, n, kernel_precision=mode)
+        assert a.reason == b.reason, (mode, a, b)
+        assert (a.block_nodes, a.chunk_edges) == (b.block_nodes, b.chunk_edges)
+    # Degenerate all-self-loop graph: defined (no NaN), finite features.
+    f_deg = degree_features(np.arange(n), np.arange(n), n)
+    assert all(np.isfinite(f_deg)), f_deg
+
+
 def test_scanned_layouts_stay_fixed():
     src, dst = _graph(10_000, 100_000)
     ch = pick_layout(src, dst, 10_000, kernel_precision="default",
