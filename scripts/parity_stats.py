@@ -60,7 +60,8 @@ def _save(path: Path, results: dict) -> None:
     tmp.replace(path)
 
 
-def run_one(scale_key: str, seed: int, results: dict, out: Path) -> None:
+def run_one(scale_key: str, seed: int, results: dict, out: Path,
+            matched_init: bool = False) -> None:
     import parity_train as PT
 
     cfg = SCALES[scale_key]
@@ -77,15 +78,31 @@ def run_one(scale_key: str, seed: int, results: dict, out: Path) -> None:
         nn_pool=cfg["nodes"] if cfg["exact_nn"] else 0,
     )
 
-    for impl, fn in (
-        ("torch", PT.run_torch_reference),
-        ("ours", PT.run_ours),
-    ):
+    # Matched-init protocol (VERDICT r4 #5): ours runs FIRST and captures
+    # its initial weights; the torch oracle then starts from exactly those
+    # weights, so per-seed differences cannot come from init RNGs.
+    captured: dict = {}
+    order = (
+        (("ours", PT.run_ours), ("torch", PT.run_torch_reference))
+        if matched_init
+        else (("torch", PT.run_torch_reference), ("ours", PT.run_ours))
+    )
+    for impl, fn in order:
         if impl in entry:
             print(f"[skip] {key} {impl} (cached)")
+            if matched_init and impl == "ours":
+                # torch still needs the init: re-capture deterministically.
+                PT.run_ours(data, types.SimpleNamespace(**{**cfg, "epochs": 0}),
+                            seed, init_out=captured)
             continue
         t0 = time.time()
-        curve = fn(data, args, seed)
+        if matched_init and impl == "ours":
+            curve = fn(data, args, seed, init_out=captured)
+        elif matched_init and impl == "torch":
+            assert "params" in captured, "ours must run before torch"
+            curve = fn(data, args, seed, init_params=captured["params"])
+        else:
+            curve = fn(data, args, seed)
         dt = time.time() - t0
         entry[impl] = {
             "mrr_curve": [float(c[0]) for c in curve],
@@ -140,6 +157,10 @@ def main():
                     default=[7, 11, 23, 31, 43])
     ap.add_argument("--out", default="reval_r4/parity_stats.json")
     ap.add_argument("--summary-only", action="store_true")
+    ap.add_argument("--matched-init", action="store_true",
+                    help="run ours first, then start the torch oracle from "
+                         "OUR captured initial weights (give a different "
+                         "--out; VERDICT r4 #5)")
     args = ap.parse_args()
 
     import jax
@@ -154,7 +175,8 @@ def main():
         )
         for scale_key in scales:
             for seed in args.seeds:
-                run_one(scale_key, seed, results, out)
+                run_one(scale_key, seed, results, out,
+                        matched_init=args.matched_init)
     print(summarize(results))
 
 

@@ -25,7 +25,11 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run_ours(data, args, seed):
+def run_ours(data, args, seed, init_out=None):
+    """``init_out``: optional dict; when given, receives the trainer's
+    INITIAL parameter pytree (host numpy) under key "params" before any
+    training step — the matched-init parity protocol (VERDICT r4 weak #4)
+    feeds exactly these weights to the torch oracle."""
     import jax
     from relgat_projector_tpu.config import ModelConfig, RunConfig, TrainConfig
     from relgat_projector_tpu.train.trainer import RelGATTrainer
@@ -48,7 +52,12 @@ def run_ours(data, args, seed):
     )
     node2emb, rel2idx, triplets = data
     tr = RelGATTrainer(run, node2emb, rel2idx, triplets, log_to_console=False)
+    if init_out is not None:
+        init_out["params"] = jax.device_get(tr.state.params)
     curve = []
+    if getattr(args, "eval_epoch0", False):
+        mrr, hits, loss, cosp, _, _ = tr.evaluate()
+        curve.append((mrr, hits.get(3, 0.0), loss, cosp))
     for ep in range(args.epochs):
         tr._single_epoch(ep + 1, args.epochs)
         mrr, hits, loss, cosp, _, _ = tr.evaluate()
@@ -56,7 +65,14 @@ def run_ours(data, args, seed):
     return curve
 
 
-def run_torch_reference(data, args, seed):
+def run_torch_reference(data, args, seed, init_params=None):
+    """``init_params``: optional pytree (host numpy, the layout of
+    ``run_ours``'s ``init_out["params"]``). When given, every oracle
+    parameter is OVERWRITTEN with the mapped value, so both
+    implementations start from bit-identical weights and the only
+    remaining cross-implementation differences are the data/negative
+    streams — the matched-init protocol that separates "different init
+    RNG" from a real variance mechanism (VERDICT r4 weak #4)."""
     import torch
     import torch.nn.functional as F
 
@@ -111,6 +127,31 @@ def run_torch_reference(data, args, seed):
     torch.nn.init.kaiming_uniform_(w2, a=np.sqrt(5))
     rel_emb = xavier(r, d)
     params += [w1, ln_s, ln_b, w2, rel_emb]
+
+    if init_params is not None:
+        # Overwrite with OUR initial weights (shapes: ours proj [H,in,out]
+        # / attn [H,R,out] vs oracle proj[h] [out,in] used as x@p.T).
+        ip = init_params
+        with torch.no_grad():
+            for li, (proj, attn, bias) in enumerate(layers):
+                ours_l = ip["layers"][li]
+                p = np.asarray(ours_l["proj"], np.float32)
+                a = np.asarray(ours_l["attn"], np.float32)
+                for h in range(heads):
+                    proj[h].copy_(torch.tensor(p[h].T))
+                    attn[h].copy_(torch.tensor(a[h]))
+                bias.copy_(torch.tensor(
+                    np.asarray(ours_l["rel_bias"], np.float32)))
+            ph = ip["projection"]
+            lin = [np.asarray(w, np.float32) for w in ph["linears"]]
+            # oracle computes x @ w1 (w1 already [in, out]) and y @ w2.T.
+            w1.copy_(torch.tensor(lin[0]))
+            w2.copy_(torch.tensor(lin[1].T))
+            ln_s.copy_(torch.tensor(np.asarray(ph["ln_scale"][0], np.float32)))
+            ln_b.copy_(torch.tensor(np.asarray(ph["ln_bias"][0], np.float32)))
+            rel_emb.copy_(torch.tensor(
+                np.asarray(ip["scorer"]["rel_emb"], np.float32)))
+
     opt = torch.optim.Adam(params, lr=args.lr, weight_decay=1e-4)
 
     def scatter_add(s, idx, dim_size):
@@ -196,6 +237,9 @@ def run_torch_reference(data, args, seed):
             return mrr, hits3, cosp
 
     curve = []
+    if getattr(args, "eval_epoch0", False):
+        mrr, hits3, cosp = evaluate()
+        curve.append((mrr, hits3, None, cosp))
     order_rng = np.random.default_rng(seed + 1)
     for _ in range(args.epochs):
         order = order_rng.permutation(n_train)
