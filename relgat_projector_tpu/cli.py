@@ -120,6 +120,13 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="candidate-pool size for the structured dst "
                         "mapping (0 = auto ~n/4; small values bound the "
                         "host-side generation cost at production dims)")
+    p.add_argument("--synthetic-self-loops", dest="synthetic_self_loops",
+                   action="store_true",
+                   help="append one self-loop edge per node (extra "
+                        "relation): in-neighbor-only aggregation makes the "
+                        "structured task's own-embedding signal invisible "
+                        "without them (PARITY.md round-2 caveat) — required"
+                        " for eval MRR to climb above random")
 
     # Training process
     p.add_argument("--train-ratio", type=float,
@@ -388,6 +395,7 @@ def main(argv=None) -> None:
             emb_dim=args.synthetic_dim,
             seed=args.seed,
             nn_pool=args.synthetic_nn_pool,
+            self_loops=args.synthetic_self_loops,
         )
     else:
         if not (
