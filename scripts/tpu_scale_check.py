@@ -40,6 +40,16 @@ def main():
                          "concentrate in-degree on hub nodes, which "
                          "stresses per-block chunk counts in the blocked "
                          "layout")
+    ap.add_argument("--clustered", action="store_true",
+                    help="community structure: 90%% of edges stay inside "
+                         "500-node clusters (the layout sweep's clustered "
+                         "class) — exercises src-dst block locality at "
+                         "scan scale")
+    ap.add_argument("--td", type=int, default=0,
+                    help="override block_nodes (0 = per-mode default)")
+    ap.add_argument("--te", type=int, default=0,
+                    help="override chunk_edges (0 = per-mode default) — "
+                         "the scanned-layout sweep knob (VERDICT r4 #8)")
     args = ap.parse_args()
 
     import jax
@@ -71,9 +81,16 @@ def main():
               f"(uniform would be ~{e // n + 4})")
     else:
         dst_e = rng.integers(0, n, e).astype(np.int32)
+    src_e = rng.integers(0, n, e).astype(np.int32)
+    if args.clustered:
+        cs = 500
+        intra = rng.random(e) < 0.9
+        dst_e = np.where(
+            intra, (src_e // cs) * cs + rng.integers(0, cs, e), dst_e
+        ).astype(np.int32)
     t0 = time.perf_counter()
     graph = build_graph(
-        rng.integers(0, n, e).astype(np.int32),
+        src_e,
         dst_e,
         rng.integers(0, r, e).astype(np.int32),
         num_nodes=n,
@@ -83,12 +100,12 @@ def main():
         # the trainer's choice (scanned layouts stay at 256: per-segment
         # chunk padding re-inflates with TE — measured 2412 vs 2314 ms/step
         # at 16M edges / 16 segments).
-        chunk_edges=(
+        chunk_edges=args.te or (
             768
             if args.kernel_precision == "default" and args.scan_segments <= 1
             else 256
         ),
-        block_nodes=(
+        block_nodes=args.td or (
             64
             if args.kernel_precision == "default" and args.scan_segments <= 1
             else 128
