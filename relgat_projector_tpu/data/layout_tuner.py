@@ -81,7 +81,13 @@ _ANCHORS = (
     dict(
         name="uniform",
         features=(2.303, 0.275, 0.274, 0.046, 0.745),
-        highest=((128, 512), (128, 384), (128, 256), (128, 128)),
+        # FULL-STEP bench on the final (is_last) kernels, reval_r5/q1.log:
+        # (128,256) 20.08M > (128,128) 18.64M > (128,384) 18.57M >
+        # (128,512) 16.20M (r4 queue12, twice). The r4 ranking here came
+        # from a pre-is_last propagate-only sweep whose TE=512-first order
+        # cost the driver headline 19% (VERDICT r4 weak #1) — fp32 anchors
+        # are now full-train-step measurements only.
+        highest=((128, 256), (128, 128), (128, 384), (128, 512)),
         # Full-step bench (is_last kernels, queue7): (128,1536) 39.16M >
         # (64,768) 38.82M > (128,768) 38.52M; sweep tail order after.
         default=((128, 1536), (64, 768), (128, 768), (128, 256),
