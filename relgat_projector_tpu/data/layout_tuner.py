@@ -17,14 +17,17 @@ over 4 graph classes x 2 kernel modes):
    to the nearest swept graph class, whose measured layout ranking is
    walked best-first until a VMEM-feasible entry is found. A smooth
    C/S cost model cannot rank these measurements (Mosaic scheduling
-   idiosyncrasies leave 14-23% residuals on the post-stats2d kernels);
-   the anchor table reproduces every swept optimum by construction and
-   interpolates between classes by degree similarity. Uniform and
-   clustered graphs share identical DEGREE marginals (clustering lives
-   in the src-dst joint structure), so the feature vector includes a
-   block-locality term that separates them — their measured bf16 optima
-   differ by 10% ((128, 1536) vs (64, 768), sweep + queue7 full-step
-   probes).
+   idiosyncrasies leave 14-23% residuals on the post-stats2d kernels).
+   GROUND TRUTH IS THE FULL TRAIN STEP (``bench.py --graph-class``
+   probes, reval_r5/q1.log), not propagate-only sweeps: the step's
+   per-edge gather streams scale with TE slot padding, and the r4
+   propagate proxy misranked fp32 TE=512 ahead of TE=256 — a 19%
+   full-step regression that shipped to the driver headline (VERDICT r4
+   weak #1). fp32 full-step optima are (128, 256) on uniform/zipf/
+   clustered and (128, 512) on dense (within 1% of 256); bf16 keeps
+   (128, 1536) on uniform AND clustered (the sweep's 10% clustered
+   preference for (64, 768) also inverted on the full step). After any
+   kernel change: run ``bench.py --probe-pick`` before committing.
 
 2. VMEM feasibility envelope: the bench-class layouts fail to COMPILE at
    the reference's doc-scale tile (16 heads x F=200 -> H*F=3200): Mosaic
@@ -96,24 +99,43 @@ _ANCHORS = (
     dict(
         name="clustered",
         features=(2.303, 0.275, 0.274, 0.046, 4.476),
-        highest=((128, 512), (128, 128), (128, 256), (128, 384)),
-        default=((64, 768), (128, 256), (128, 768), (64, 384),
-                 (128, 1536), (64, 128)),
+        # Full-step (reval_r5/q1.log): 256 19.99M > 128 18.72M >
+        # 512 16.27M. The r4 propagate sweep ranked 512 first — same
+        # pro-big-TE proxy bias as uniform.
+        highest=((128, 256), (128, 128), (128, 384), (128, 512)),
+        # Full-step (reval_r5/q1.log): (128,1536) 39.10M > (64,768)
+        # 38.83M — the sweep's 10% preference for (64,768) also does not
+        # survive the full step; clustered and uniform share the bf16
+        # winner.
+        default=((128, 1536), (64, 768), (128, 256), (128, 768),
+                 (64, 384), (64, 128)),
     ),
     dict(
         name="zipf",
         features=(2.303, 3.264, 0.274, 2.553, 0.729),
-        highest=((128, 128), (128, 256), (128, 384), (128, 512)),
-        default=((128, 512), (128, 768), (128, 384), (128, 256),
-                 (64, 768), (64, 128)),
+        # Full-step (reval_r5/q1.log): 256 20.11M > 128 18.65M (the
+        # propagate sweep's 128-first order inverted); 384/512 tail by
+        # the uniform analogy.
+        highest=((128, 256), (128, 128), (128, 384), (128, 512)),
+        # bf16: r4 propagate-sweep order (512 first), with (128,1536)
+        # promoted to second — the sweep's anti-1536 calls inverted on
+        # the full step for both classes probed (uniform, clustered).
+        # Full-step zipf bf16 probes pending (queue 4).
+        default=((128, 512), (128, 1536), (128, 768), (128, 384),
+                 (128, 256), (64, 768), (64, 128)),
     ),
     dict(
         name="dense",
         features=(3.689, 0.147, 0.148, 0.051, 0.680),
-        highest=((128, 512), (128, 768), (128, 256), (128, 384),
+        # Full-step (reval_r5/q1.log): 512 26.27M > 256 26.04M (within
+        # 1%); sweep tail order after.
+        highest=((128, 512), (128, 256), (128, 768), (128, 384),
                  (128, 128)),
-        default=((64, 768), (128, 256), (128, 768), (64, 384),
-                 (64, 1536), (64, 512), (64, 128)),
+        # bf16: r4 propagate-sweep order ((64,768) first), with
+        # (128,1536) promoted to second (see zipf note). Full-step dense
+        # bf16 probes pending (queue 4).
+        default=((64, 768), (128, 1536), (128, 256), (128, 768),
+                 (64, 384), (64, 512), (64, 128)),
     ),
 )
 

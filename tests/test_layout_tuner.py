@@ -45,28 +45,34 @@ def test_chunk_slot_accounting_matches_real_builder():
         assert g.blocked.by_src.num_chunks == c_src
 
 
-# On-chip sweep measurements (reval_r4/layout_sweep.json, fwd+bwd
-# propagate ms, H=4/F=64/R=8, 500k edges) — the acceptance data the
-# anchor table was built from. Regenerating each graph with the sweep's
-# rng recipe, the tuner's pick must sit within 5% of each combo's best.
+# Measured acceptance tables, one per (graph class, kernel mode). Values
+# are RELATIVE COSTS (lower = better; comparisons happen within one
+# table only):
+#   - FULL-TRAIN-STEP probes (the r5 ground truth): 1000 / (M msg/s) from
+#     driver-style bench.py runs at explicit layouts — reval_r5/q1.log
+#     (+ r4 queue7/queue12 for uniform bf16 / fp32 512). Round 4 proved
+#     propagate-only proxies MISRANK full-step layouts (the gathers scale
+#     with TE slot padding): its tuner pick cost the driver headline 19%.
+#   - where no full-step probe exists yet (zipf/dense bf16), the r4
+#     propagate sweep ms (reval_r4/layout_sweep.json) remain.
+# PROVENANCE RULE (VERDICT r4 weak #2): these tables are frozen
+# MEASUREMENTS, not derived from the tuner — any kernel change must
+# re-run `bench.py --probe-pick` (both modes) and, if the pick moved,
+# re-probe with bench.py --graph-class before updating _ANCHORS and these
+# numbers together.
 _SWEEP = {
-    ("uniform", "highest"): {(128, 512): 90.54, (128, 384): 91.42,
-                             (128, 256): 92.53, (128, 128): 95.83},
-    ("uniform", "default"): {(128, 1536): 63.99, (64, 768): 64.74,
-                             (128, 256): 66.87, (128, 768): 71.66,
-                             (64, 384): 78.36},
-    ("zipf1.0", "highest"): {(128, 128): 75.73, (128, 256): 85.72,
-                             (128, 384): 89.10, (128, 512): 92.29},
+    ("uniform", "highest"): {(128, 256): 49.80, (128, 128): 53.65,
+                             (128, 384): 53.86, (128, 512): 61.73},
+    ("uniform", "default"): {(128, 1536): 25.54, (64, 768): 25.76,
+                             (128, 768): 25.96},
+    ("zipf1.0", "highest"): {(128, 256): 49.73, (128, 128): 53.62},
     ("zipf1.0", "default"): {(128, 512): 61.45, (128, 768): 63.27,
                              (128, 384): 65.81, (128, 256): 67.03,
                              (64, 768): 72.74},
-    ("clustered", "highest"): {(128, 512): 67.80, (128, 128): 71.85,
-                               (128, 256): 73.12, (128, 384): 75.50},
-    ("clustered", "default"): {(64, 768): 59.85, (128, 256): 63.29,
-                               (128, 768): 65.50, (64, 384): 65.90,
-                               (128, 1536): 66.08},
-    ("dense40", "highest"): {(128, 512): 63.19, (128, 768): 64.61,
-                             (128, 256): 66.56, (128, 384): 67.93},
+    ("clustered", "highest"): {(128, 256): 50.03, (128, 128): 53.41,
+                               (128, 512): 61.48},
+    ("clustered", "default"): {(128, 1536): 25.58, (64, 768): 25.75},
+    ("dense40", "highest"): {(128, 512): 38.07, (128, 256): 38.40},
     ("dense40", "default"): {(64, 768): 61.81, (128, 256): 62.39,
                              (128, 768): 68.68, (64, 384): 69.84,
                              (64, 1536): 70.54, (64, 512): 73.32},
