@@ -117,12 +117,12 @@ _ANCHORS = (
         # propagate sweep's 128-first order inverted); 384/512 tail by
         # the uniform analogy.
         highest=((128, 256), (128, 128), (128, 384), (128, 512)),
-        # bf16: r4 propagate-sweep order (512 first), with (128,1536)
-        # promoted to second — the sweep's anti-1536 calls inverted on
-        # the full step for both classes probed (uniform, clustered).
-        # Full-step zipf bf16 probes pending (queue 4).
-        default=((128, 512), (128, 1536), (128, 768), (128, 384),
-                 (128, 256), (64, 768), (64, 128)),
+        # bf16 full-step probes (reval_r5/q4.log): (128,768) 36.33M >
+        # (128,512) 36.19M (0.4%, noise-level) >> (128,1536) 32.43M —
+        # unlike uniform/clustered, zipf's hub blocks DO punish the
+        # one-chunk-per-block 1536 layout. Sweep tail order after.
+        default=((128, 768), (128, 512), (128, 384), (128, 256),
+                 (64, 768), (128, 1536), (64, 128)),
     ),
     dict(
         name="dense",
@@ -131,10 +131,10 @@ _ANCHORS = (
         # 1%); sweep tail order after.
         highest=((128, 512), (128, 256), (128, 768), (128, 384),
                  (128, 128)),
-        # bf16: r4 propagate-sweep order ((64,768) first), with
-        # (128,1536) promoted to second (see zipf note). Full-step dense
-        # bf16 probes pending (queue 4).
-        default=((64, 768), (128, 1536), (128, 256), (128, 768),
+        # bf16 full-step probes (reval_r5/q4.log): (128,1536) 45.14M >
+        # (64,768) 44.79M > (128,256) 43.67M (all within 3.3%). Sweep
+        # tail order after.
+        default=((128, 1536), (64, 768), (128, 256), (128, 768),
                  (64, 384), (64, 512), (64, 128)),
     ),
 )

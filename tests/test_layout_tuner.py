@@ -53,8 +53,7 @@ def test_chunk_slot_accounting_matches_real_builder():
 #     (+ r4 queue7/queue12 for uniform bf16 / fp32 512). Round 4 proved
 #     propagate-only proxies MISRANK full-step layouts (the gathers scale
 #     with TE slot padding): its tuner pick cost the driver headline 19%.
-#   - where no full-step probe exists yet (zipf/dense bf16), the r4
-#     propagate sweep ms (reval_r4/layout_sweep.json) remain.
+#   - all eight tables are full-step probes as of r5 (queue 1 + queue 4).
 # PROVENANCE RULE (VERDICT r4 weak #2): these tables are frozen
 # MEASUREMENTS, not derived from the tuner — any kernel change must
 # re-run `bench.py --probe-pick` (both modes) and, if the pick moved,
@@ -66,16 +65,14 @@ _SWEEP = {
     ("uniform", "default"): {(128, 1536): 25.54, (64, 768): 25.76,
                              (128, 768): 25.96},
     ("zipf1.0", "highest"): {(128, 256): 49.73, (128, 128): 53.62},
-    ("zipf1.0", "default"): {(128, 512): 61.45, (128, 768): 63.27,
-                             (128, 384): 65.81, (128, 256): 67.03,
-                             (64, 768): 72.74},
+    ("zipf1.0", "default"): {(128, 768): 27.53, (128, 512): 27.63,
+                             (128, 1536): 30.84},
     ("clustered", "highest"): {(128, 256): 50.03, (128, 128): 53.41,
                                (128, 512): 61.48},
     ("clustered", "default"): {(128, 1536): 25.58, (64, 768): 25.75},
     ("dense40", "highest"): {(128, 512): 38.07, (128, 256): 38.40},
-    ("dense40", "default"): {(64, 768): 61.81, (128, 256): 62.39,
-                             (128, 768): 68.68, (64, 384): 69.84,
-                             (64, 1536): 70.54, (64, 512): 73.32},
+    ("dense40", "default"): {(128, 1536): 22.15, (64, 768): 22.33,
+                             (128, 256): 22.90},
 }
 
 
