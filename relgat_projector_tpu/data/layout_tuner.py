@@ -40,9 +40,12 @@ over 4 graph classes x 2 kernel modes):
    feasible layout under the default 16M scoped limit — that tile needs
    the raised ``vmem_limit_bytes`` path.
 
-Scanned layouts (scan_segments > 1) keep TD=128/TE=256: per-SEGMENT chunk
-padding re-inflates with TE (measured 16M-edge/16-segment: 2412 ms at
-TE=768 vs 2314 ms at TE=256 — BENCH_NOTES r3).
+Scanned layouts (scan_segments > 1) are fixed per mode (``SCANNED_LAYOUTS``):
+TE=256 is degree-robust — the r5 scanned sweep has it winning by 11-18%
+on every graph class — and per-SEGMENT chunk padding re-inflates with TE
+(measured 16M-edge/16-segment: 2412 ms at TE=768 vs 2314 ms at TE=256 —
+BENCH_NOTES r3); bf16 additionally takes TD=64 (+4.3-5.2% on all three
+classes, reval_r5/q3+q5 logs).
 """
 
 from __future__ import annotations
@@ -69,7 +72,20 @@ _CAL: Dict[str, Dict[str, object]] = {
     ),
 }
 
-SCANNED_LAYOUT: Tuple[int, int] = (128, 256)
+# Scanned (scan_segments > 1) layouts, per kernel mode. TE=256 is
+# DEGREE-ROBUST: the r5 scanned sweep (4M edges / 4 segments, bf16) has
+# it beating TE=128/384 by 11-18% on uniform, zipf-1.0 AND clustered
+# (reval_r5/q3.log) — per-segment chunk padding dominates the TE
+# tradeoff identically across classes, unlike the unscanned case. TD=64
+# beat TD=128 by 4.3-5.2% on all three classes in bf16 (q3+q5); fp32
+# keeps TD=128 (its 6-pass matmuls measured 18% slower at TD=64
+# unscanned — BENCH_NOTES r3 — and TD=64 fp32 scanned is unmeasured).
+SCANNED_LAYOUTS: Dict[str, Tuple[int, int]] = {
+    "highest": (128, 256),
+    "default": (64, 256),
+}
+# Backward-compat alias (fp32 value, the historical constant).
+SCANNED_LAYOUT: Tuple[int, int] = SCANNED_LAYOUTS["highest"]
 
 # Measured anchor classes (reval_r4/layout_sweep.json + the full-step
 # bench probes in reval_r4/queue7.log): degree features
@@ -292,7 +308,7 @@ def pick_layout(
         )
 
     if scanned:
-        td, te = SCANNED_LAYOUT
+        td, te = SCANNED_LAYOUTS[mode]
         while te > 128 and not fits(td, te, _RAISED_VMEM_LIMIT_BYTES):
             te //= 2
         return LayoutChoice(

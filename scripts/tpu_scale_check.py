@@ -105,10 +105,10 @@ def main():
             if args.kernel_precision == "default" and args.scan_segments <= 1
             else 256
         ),
+        # bf16 takes TD=64 both unscanned (r3 TD sweep) and scanned (r5
+        # q3+q5: +4.3-5.2% over TD=128 on every class); fp32 keeps 128.
         block_nodes=args.td or (
-            64
-            if args.kernel_precision == "default" and args.scan_segments <= 1
-            else 128
+            64 if args.kernel_precision == "default" else 128
         ),
     )
     print(f"layout build: {time.perf_counter() - t0:.1f}s")

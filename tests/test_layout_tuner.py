@@ -138,11 +138,18 @@ def test_self_loops_do_not_masquerade_as_clustering():
 
 
 def test_scanned_layouts_stay_fixed():
+    from relgat_projector_tpu.data.layout_tuner import SCANNED_LAYOUTS
+
     src, dst = _graph(10_000, 100_000)
-    ch = pick_layout(src, dst, 10_000, kernel_precision="default",
-                     scanned=True)
-    assert (ch.block_nodes, ch.chunk_edges) == SCANNED_LAYOUT
-    assert ch.reason == "scanned"
+    for mode, want in SCANNED_LAYOUTS.items():
+        ch = pick_layout(src, dst, 10_000, kernel_precision=mode,
+                         scanned=True)
+        assert (ch.block_nodes, ch.chunk_edges) == want, (mode, ch)
+        assert ch.reason == "scanned"
+    # Measured per-mode split (reval_r5/q3+q5): bf16 takes TD=64, fp32
+    # keeps TD=128; TE=256 for both (degree-robust, 11-18% margins).
+    assert SCANNED_LAYOUTS["default"] == (64, 256)
+    assert SCANNED_LAYOUT == SCANNED_LAYOUTS["highest"] == (128, 256)
 
 
 def test_dataset_auto_tunes_and_threads_choice():
