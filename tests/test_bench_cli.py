@@ -102,6 +102,27 @@ def test_no_pallas_single_mode(bench):
     assert "value_bf16" not in o
 
 
+def test_known_good_layout_matches_tuner_pick_on_bench_graph():
+    """KNOWN_GOOD_LAYOUT is the --probe-pick guard's reference point; it
+    must track the tuner's actual pick on the driver's bench graph. If an
+    anchor-table change moves the pick, this fails until KNOWN_GOOD is
+    updated WITH a fresh measured probe (the r4 failure mode was exactly
+    an un-probed pick change)."""
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import bench as B
+
+    from relgat_projector_tpu.data.layout_tuner import pick_layout
+
+    n, src, dst, *_ = B._make_inputs(B.BENCH, graph_class="uniform")
+    for mode, want in B.KNOWN_GOOD_LAYOUT.items():
+        ch = pick_layout(
+            src, dst, n, kernel_precision=mode,
+            heads_features=B.BENCH["gat_heads"] * B.BENCH["gat_out_dim"],
+            num_rel=B.BENCH["num_rel"],
+        )
+        assert (ch.block_nodes, ch.chunk_edges) == want, (mode, ch, want)
+
+
 def test_graph_classes_generate_distinct_structures():
     sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
     import bench as B
