@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--kernel-precision", default="highest",
                     choices=["highest", "default"])
+    ap.add_argument("--td", type=int, default=0,
+                    help="dst-block rows (0 = layout auto-tuner)")
+    ap.add_argument("--te", type=int, default=0,
+                    help="edge-chunk size (0 = layout auto-tuner)")
     args = ap.parse_args()
 
     import jax
@@ -52,12 +56,25 @@ def main():
 
     cfg_d = B.BENCH_SMALL if args.small else B.BENCH
     _n, src, dst, et, emb, bs, br, bd = B._make_inputs(cfg_d)
+    # Layout = the auto-tuner's pick for this graph/mode (0 = auto), exactly
+    # what bench.py and the trainer run — round 4 proved hardcoded layout
+    # mirrors go stale the moment the anchors move (--td/--te override).
+    td, te = args.td, args.te
+    if not (td and te):
+        from relgat_projector_tpu.data.layout_tuner import pick_layout
+
+        choice = pick_layout(
+            src, dst, cfg_d["num_nodes"],
+            kernel_precision=args.kernel_precision,
+            heads_features=cfg_d["gat_heads"] * cfg_d["gat_out_dim"],
+            num_rel=cfg_d["num_rel"],
+        )
+        td = td or choice.block_nodes
+        te = te or choice.chunk_edges
+    print(f"layout: TD={td} TE={te}")
     graph = build_graph(
         src, dst, et, num_nodes=cfg_d["num_nodes"], blocked=True,
-        chunk_edges=768 if args.kernel_precision == "default" else 256,
-        # Mirror trainer.py's per-mode TD choice (bf16 unscanned: TD=64) so
-        # the profile measures the layout the trainer actually runs.
-        block_nodes=64 if args.kernel_precision == "default" else 128,
+        chunk_edges=te, block_nodes=td,
     )
     node_emb = jnp.asarray(pad_node_embeddings(emb, graph.num_nodes))
     mcfg = ModelConfig(
