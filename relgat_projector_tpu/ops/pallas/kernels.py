@@ -25,10 +25,14 @@ def _gather_ps(h, src, heads, f, dtype=jnp.float32):
     """Row-major source gather (axis-0 take is ~4x faster than axis-1);
     returns the 2D ``[E_bp, H*F]`` layout the kernels stream. Casting the
     node-sized array BEFORE the edge-sized gather halves the gather's
-    write traffic when ``dtype`` is bf16."""
+    write traffic when ``dtype`` is bf16. ``mode="clip"``: the blocked
+    layout guarantees every slot (incl. padding, which repeats a real
+    edge's src) is in bounds, and take's default fill mode costs a
+    measured ~2x on this [E, H*F] gather (clamp+select pass over the
+    gathered rows, scripts/tpu_gather_probe.py)."""
     n_pad = h.shape[0]
     return jnp.take(
-        h.reshape(n_pad, heads * f).astype(dtype), src, axis=0
+        h.reshape(n_pad, heads * f).astype(dtype), src, axis=0, mode="clip"
     )
 
 
@@ -170,7 +174,7 @@ def _bwd_from_packed(
     # stats measured ~13% dh error (m shifts the exponent, S enters the
     # cancellation-prone de = alpha * (dalpha - S)); the pair recombination
     # keeps fp32-grade stats at half the gather bytes (_packed_stream).
-    ge_all = jnp.take(packed, bs.dst, axis=0)
+    ge_all = jnp.take(packed, bs.dst, axis=0, mode="clip")
     n_src = h.shape[0]
     hb = h.reshape(n_src, heads * f).astype(_stream_dtype(precision))
     rows_needed = (

@@ -153,8 +153,8 @@ def _xla_propagate(
     num_nodes, negative_slope, eps, attn_dropout_rate, dropout_rng,
     edges_sorted_by_dst, edge_mask, dropout_edge_ids,
 ):
-    proj_src = jnp.take(h, src, axis=0)                    # [E, H, F]
-    rel_att = jnp.take(attn_bank, etype, axis=1)           # [H, E, F]
+    proj_src = jnp.take(h, src, axis=0, mode="clip")       # [E, H, F]
+    rel_att = jnp.take(attn_bank, etype, axis=1, mode="clip")  # [H, E, F]
     rel_att = jnp.swapaxes(rel_att, 0, 1)                  # [E, H, F]
 
     # SDDMM-like per-edge attention logits (reference ``layer.py:227-234``).
@@ -200,7 +200,7 @@ def _xla_propagate(
     # Per-relation scalar bias, scatter-summed per dst AFTER aggregation and
     # broadcast over heads and features (``layer.py:313-318``).
     if rel_bias is not None:
-        bias_e = jnp.take(rel_bias, etype)                 # [E]
+        bias_e = jnp.take(rel_bias, etype, mode="clip")    # [E]
         if edge_mask is not None:
             bias_e = bias_e * edge_mask
         bias_n = segment_sum(
@@ -244,9 +244,9 @@ def relgat_propagate_partial(
     ``dropout_edge_ids`` must carry CANONICAL edge ids so the masks match
     the unsplit propagate for the same seed (``ops/dropout.py``).
     """
-    proj_src = jnp.take(h, src, axis=0)                    # [E, H, F]
+    proj_src = jnp.take(h, src, axis=0, mode="clip")       # [E, H, F]
     rel_att = jnp.swapaxes(
-        jnp.take(attn_bank, etype, axis=1), 0, 1
+        jnp.take(attn_bank, etype, axis=1, mode="clip"), 0, 1
     )                                                      # [E, H, F]
     e = jnp.sum(proj_src * rel_att, axis=-1)               # [E, H]
     e = jax.nn.leaky_relu(e, negative_slope=negative_slope)
@@ -287,7 +287,7 @@ def relgat_propagate_partial(
     )                                                      # [num_out, H, F]
 
     if rel_bias is not None:
-        bias_e = jnp.take(rel_bias, etype)
+        bias_e = jnp.take(rel_bias, etype, mode="clip")
         if edge_mask is not None:
             bias_e = bias_e * edge_mask
         bias_n = segment_sum(

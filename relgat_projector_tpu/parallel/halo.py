@@ -461,7 +461,7 @@ def halo_propagate(
         hf = heads * f
         h2 = h_loc.reshape(rows, hf)
         send = jnp.take(
-            h2, send_idx[0].reshape(-1), axis=0
+            h2, send_idx[0].reshape(-1), axis=0, mode="clip"
         ).reshape(g, hp, hf)
         halo = jax.lax.all_to_all(send, GRAPH_AXIS, 0, 0)  # [G, Hp, HF]
         # Halo space = own rows ++ received boundary rows.
@@ -579,7 +579,7 @@ def _halo_propagate_overlapped(
         hf = heads * f
         h2 = h_loc.reshape(rows, hf)
         send = jnp.take(
-            h2, send_idx[0].reshape(-1), axis=0
+            h2, send_idx[0].reshape(-1), axis=0, mode="clip"
         ).reshape(g, hp, hf)
         halo = jax.lax.all_to_all(send, GRAPH_AXIS, 0, 0)  # [G, Hp, HF]
         halo3 = halo.reshape(g * hp, heads, f)

@@ -59,8 +59,8 @@ def score_batch(
     """
     num_neg = train_cfg.num_neg
 
-    src_vec = jnp.take(x, src, axis=0)   # [B, D]
-    dst_vec = jnp.take(x, dst, axis=0)   # [B, D]
+    src_vec = jnp.take(x, src, axis=0, mode="clip")   # [B, D]
+    dst_vec = jnp.take(x, dst, axis=0, mode="clip")   # [B, D]
     pos_score = sc.score_triplets(
         params["scorer"], model_cfg.scorer_type, src_vec, rel, dst_vec
     )  # [B]
@@ -70,7 +70,7 @@ def score_batch(
     neg_dst = sample_negative_dst(
         neg_rng, dst, num_nodes=num_real_nodes, num_neg=num_neg
     )  # [B, K]
-    neg_dst_vec = jnp.take(x, neg_dst, axis=0)  # [B, K, D]
+    neg_dst_vec = jnp.take(x, neg_dst, axis=0, mode="clip")  # [B, K, D]
     neg_score = sc.score_triplets(
         params["scorer"],
         model_cfg.scorer_type,

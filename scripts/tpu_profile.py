@@ -104,7 +104,17 @@ def main():
         jnp.ones((cfg_d["batch_size"],), jnp.float32),
     )
     rng = jax.random.PRNGKey(3)
-    rows = []
+    class _Rows(list):
+        """Print each row as it lands so a crash mid-script (e.g. a
+        layout/precision combination that legitimately OOMs) keeps the
+        already-measured rows in the log."""
+
+        def append(self, item):
+            name, t = item
+            print(f"[row] {name:45s} {t * 1e3:9.2f} ms", flush=True)
+            super().append(item)
+
+    rows = _Rows()
 
     def sync_any(x):
         # Smallest leaf: device_get transfers the WHOLE array through the
@@ -189,8 +199,14 @@ def main():
 
     @jax.jit
     def prop_fwd(h_, a_, b_):
+        # kernel_precision must ride along: the bf16-mode layouts (e.g.
+        # (128,1536)) are only VMEM-feasible with bf16 streams — the fp32
+        # default scoped-VMEM-OOMs at exactly those tiles.
         return jnp.sum(
-            relgat_propagate_pallas(h_, a_, b_, graph.blocked)
+            relgat_propagate_pallas(
+                h_, a_, b_, graph.blocked,
+                kernel_precision=args.kernel_precision,
+            )
         )
 
     t_pf = _timeit(lambda: prop_fwd(h1, attn_b, bias_b), sync_any, args.steps)
@@ -199,7 +215,10 @@ def main():
     @jax.jit
     def prop_fwdbwd(h_, a_, b_):
         return jax.grad(
-            lambda *xs: jnp.sum(relgat_propagate_pallas(*xs, graph.blocked))
+            lambda *xs: jnp.sum(relgat_propagate_pallas(
+                *xs, graph.blocked,
+                kernel_precision=args.kernel_precision,
+            ))
         , argnums=(0, 1, 2))(h_, a_, b_)
 
     t_pfb = _timeit(
